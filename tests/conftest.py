@@ -1,13 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; sharding paths are validated on
-host-platform virtual devices. Must run before the first jax import.
+host-platform virtual devices. The environment's sitecustomize pre-registers
+the TPU tunnel backend, so forcing CPU requires jax.config.update (env vars
+alone are overridden before pytest starts).
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

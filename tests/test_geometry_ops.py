@@ -1,0 +1,194 @@
+"""Tests for grid subsampling and radius search (host + fixed-shape JAX).
+
+Each op is checked against a small brute-force numpy oracle, including the
+shadow-padding and distance-ordering semantics the network depends on.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from weasal_tpu.ops.subsample import (
+    SHADOW_COORD, batch_grid_subsample, grid_extent_cells, grid_subsample,
+    grid_subsample_fixed)
+from weasal_tpu.ops.neighbors import (
+    batch_radius_search, radius_search, radius_search_fixed)
+
+
+def brute_force_voxels(points, dl):
+    """Oracle: dict voxel-> member indices, anchored at min corner."""
+    origin = points.min(axis=0)
+    vox = np.floor((points - origin) / dl).astype(np.int64)
+    cells = {}
+    for i, v in enumerate(map(tuple, vox)):
+        cells.setdefault(v, []).append(i)
+    return cells
+
+
+class TestGridSubsample:
+
+    def test_barycenters_match_oracle(self):
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-3, 3, size=(500, 3)).astype(np.float32)
+        dl = 0.75
+        sub = grid_subsample(pts, dl=dl)
+
+        cells = brute_force_voxels(pts, dl)
+        expected = np.array(sorted(
+            (pts[idx].mean(axis=0) for idx in cells.values()),
+            key=lambda c: tuple(c)))
+        got = np.array(sorted(map(tuple, sub)))
+        assert sub.shape[0] == len(cells)
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_features_mean_labels_majority(self):
+        # Two voxels: [0,1)^3 and [2,3)^3
+        pts = np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [0.3, 0.3, 0.3],
+                        [2.5, 2.5, 2.5]], dtype=np.float32)
+        feats = np.array([[1.0], [2.0], [3.0], [10.0]], dtype=np.float32)
+        labels = np.array([4, 7, 7, 2], dtype=np.int32)
+        sub_p, sub_f, sub_l = grid_subsample(pts, feats, labels, dl=1.0)
+        assert sub_p.shape == (2, 3)
+        np.testing.assert_allclose(sub_f[:, 0], [2.0, 10.0])
+        np.testing.assert_array_equal(sub_l, [7, 2])  # majority, then single
+
+    def test_label_tie_breaks_to_smallest(self):
+        pts = np.array([[0.1, 0, 0], [0.2, 0, 0]], dtype=np.float32)
+        labels = np.array([5, 3], dtype=np.int32)
+        _, sub_l = grid_subsample(pts, labels=labels, dl=1.0)
+        assert sub_l[0] == 3
+
+    def test_batch_version_respects_elements(self):
+        rng = np.random.default_rng(1)
+        a = rng.uniform(0, 2, size=(50, 3)).astype(np.float32)
+        b = rng.uniform(0, 2, size=(80, 3)).astype(np.float32)
+        stacked = np.vstack((a, b))
+        sub, lens = batch_grid_subsample(stacked, [50, 80], dl=0.5)
+        # Element-wise equals single-cloud results
+        sub_a = grid_subsample(a, dl=0.5)
+        sub_b = grid_subsample(b, dl=0.5)
+        assert lens.tolist() == [sub_a.shape[0], sub_b.shape[0]]
+        np.testing.assert_allclose(sub[:lens[0]], sub_a, atol=1e-6)
+        np.testing.assert_allclose(sub[lens[0]:], sub_b, atol=1e-6)
+
+    def test_batch_random_rotation_roundtrip(self):
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-1, 1, size=(200, 3)).astype(np.float32)
+        theta = 0.7
+        c, s = np.cos(theta), np.sin(theta)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float32)
+        sub, lens = batch_grid_subsample(pts, [200], dl=0.4,
+                                         random_rotations=R[None])
+        # Rotation applied before voxelization is undone: output points live
+        # near input cloud (within voxel diagonal)
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(pts).query(sub)
+        assert d.max() < 0.4 * np.sqrt(3)
+
+    def test_fixed_shape_matches_host(self):
+        rng = np.random.default_rng(3)
+        n_real = 300
+        pts = rng.uniform(-4, 4, size=(n_real, 3)).astype(np.float32)
+        pad = np.full((60, 3), SHADOW_COORD, dtype=np.float32)
+        padded = np.vstack((pts, pad))
+        mask = np.arange(360) < n_real
+
+        dl = 1.0
+        n_cells = grid_extent_cells(4.0, dl)
+        sub_dev, mask_dev = grid_subsample_fixed(
+            jnp.asarray(padded), jnp.asarray(mask), dl, 256, n_cells)
+        sub_dev = np.asarray(sub_dev)[np.asarray(mask_dev)]
+
+        sub_host = grid_subsample(pts, dl=dl)
+        assert sub_dev.shape == sub_host.shape
+        got = np.array(sorted(map(tuple, sub_dev)))
+        exp = np.array(sorted(map(tuple, sub_host)))
+        np.testing.assert_allclose(got, exp, atol=1e-4)
+
+    def test_fixed_shape_overflow_drops_extra_voxels(self):
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(-4, 4, size=(200, 3)).astype(np.float32)
+        mask = np.ones(200, dtype=bool)
+        sub, m = grid_subsample_fixed(
+            jnp.asarray(pts), jnp.asarray(mask), 0.5, 16,
+            grid_extent_cells(4.0, 0.5))
+        assert int(np.sum(np.asarray(m))) == 16
+        # Padding rows carry the shadow coordinate
+        assert np.all(np.asarray(sub)[~np.asarray(m)] == SHADOW_COORD)
+
+
+def brute_force_neighbors(queries, supports, radius, max_count):
+    n_s = supports.shape[0]
+    out = np.full((queries.shape[0], max_count), n_s, dtype=np.int32)
+    for qi, q in enumerate(queries):
+        d2 = np.sum((supports - q) ** 2, axis=1)
+        inds = np.where(d2 <= radius ** 2)[0]
+        inds = inds[np.argsort(d2[inds], kind="stable")][:max_count]
+        out[qi, :len(inds)] = inds
+    return out
+
+
+class TestRadiusSearch:
+
+    def test_host_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        q = rng.uniform(-2, 2, size=(40, 3)).astype(np.float32)
+        s = rng.uniform(-2, 2, size=(100, 3)).astype(np.float32)
+        got = radius_search(q, s, 0.8, max_count=20)
+        exp = brute_force_neighbors(q, s, 0.8, 20)
+        np.testing.assert_array_equal(got, exp)
+
+    def test_rows_distance_sorted_and_shadow_padded(self):
+        q = np.zeros((1, 3), dtype=np.float32)
+        s = np.array([[0.5, 0, 0], [0.1, 0, 0], [0.3, 0, 0],
+                      [5, 5, 5]], dtype=np.float32)
+        row = radius_search(q, s, 1.0, max_count=5)[0]
+        np.testing.assert_array_equal(row, [1, 2, 0, 4, 4])
+
+    def test_batch_host_offsets_and_isolation(self):
+        rng = np.random.default_rng(1)
+        a_q = rng.uniform(0, 1, size=(10, 3)).astype(np.float32)
+        b_q = rng.uniform(0, 1, size=(12, 3)).astype(np.float32)
+        a_s = rng.uniform(0, 1, size=(30, 3)).astype(np.float32)
+        b_s = rng.uniform(0, 1, size=(40, 3)).astype(np.float32)
+        out = batch_radius_search(np.vstack((a_q, b_q)), np.vstack((a_s, b_s)),
+                                  [10, 12], [30, 40], 0.5, max_count=30)
+        # First element rows only reference supports [0, 30) or shadow 70
+        first = out[:10]
+        assert np.all((first < 30) | (first == 70))
+        second = out[10:]
+        assert np.all(((second >= 30) & (second < 70)) | (second == 70))
+
+    def test_fixed_matches_oracle_with_padding(self):
+        rng = np.random.default_rng(2)
+        nq_real, ns_real = 37, 83
+        q = rng.uniform(-2, 2, size=(64, 3)).astype(np.float32)
+        s = rng.uniform(-2, 2, size=(96, 3)).astype(np.float32)
+        q_mask = np.arange(64) < nq_real
+        s_mask = np.arange(96) < ns_real
+        # Padded supports pushed far away so the oracle ignores them too
+        s[~s_mask] = SHADOW_COORD
+
+        got = np.asarray(radius_search_fixed(
+            jnp.asarray(q), jnp.asarray(s), jnp.asarray(q_mask),
+            jnp.asarray(s_mask), 0.9, max_count=16, chunk=32))
+        exp = brute_force_neighbors(q[:nq_real], s[:ns_real], 0.9, 16)
+        # Oracle shadow is ns_real; fixed version uses Ns = 96
+        exp_shadow = exp == ns_real
+        exp64 = exp.copy()
+        exp64[exp_shadow] = 96
+        np.testing.assert_array_equal(got[:nq_real], exp64)
+        # Padded query rows are all shadow
+        assert np.all(got[nq_real:] == 96)
+
+    def test_fixed_query_count_not_multiple_of_chunk(self):
+        rng = np.random.default_rng(3)
+        q = rng.uniform(-1, 1, size=(45, 3)).astype(np.float32)
+        s = rng.uniform(-1, 1, size=(50, 3)).astype(np.float32)
+        got = np.asarray(radius_search_fixed(
+            jnp.asarray(q), jnp.asarray(s),
+            jnp.ones(45, bool), jnp.ones(50, bool), 0.7, max_count=8,
+            chunk=16))
+        exp = brute_force_neighbors(q, s, 0.7, 8)
+        exp[exp == 50] = 50
+        np.testing.assert_array_equal(got, exp)
