@@ -1,0 +1,188 @@
+"""KPConv: kernel point convolution as fused batched einsums.
+
+The hot op of the framework. Reference math (models/blocks.py:238-374):
+for each query point, gather its neighbors, compute their offsets to K kernel
+points, turn distances into influence weights (constant / linear / gaussian),
+aggregate neighbor features per kernel point, then contract with the
+[K, Cin, Cout] weight tensor.
+
+TPU mapping: the whole chain is three dense contractions over static shapes —
+
+    d2      = |neighbors - kernel_points|^2            # [B,Nq,K,Kp] (VPU)
+    infl    = influence(d2)                            # [B,Nq,Kp,K] (VPU)
+    agg     = einsum('bqpk,bqkc->bqpc', infl, nx)      # MXU
+    out     = reshape(agg) @ reshape(W)                # [B*Nq, Kp*Cin] @
+                                                       # [Kp*Cin, Cout] (MXU)
+
+The final matmul is a single large GEMM, which is where almost all FLOPs go;
+folding the Kp axis into the contraction dimension keeps the MXU busy with a
+(Kp*Cin)-deep contraction instead of Kp small ones.
+
+Shadow semantics: supports gain an appended far-away row (index Ns) and
+features a zero row, so shadow neighbors contribute zero — identical to the
+reference. Deformable kernels additionally mask neighbors outside every
+deformed kernel point's extent (reference's topk re-pruning is a memory
+optimization only; with static shapes masking is free).
+
+A Pallas fused kernel for the gather+influence+GEMM chain lives in
+weasal_tpu.ops.pallas.kpconv_pallas and is used when enabled; this module is
+the XLA reference path and the source of truth for semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+SHADOW_COORD = 1e6
+
+
+class KPConvParams(NamedTuple):
+    """Static hyper-parameters of one KPConv op."""
+    kp_extent: float
+    influence: str = "linear"        # 'constant' | 'linear' | 'gaussian'
+    aggregation: str = "sum"         # 'sum' | 'closest'
+    deformable: bool = False
+    modulated: bool = False
+
+
+def gather_neighbors(values: jnp.ndarray,
+                     inds: jnp.ndarray,
+                     pad_value: float) -> jnp.ndarray:
+    """Gather [B, Ns, D] rows by [B, Nq, K] sphere-local indices.
+
+    Index Ns (the shadow) selects an appended constant `pad_value` row.
+    """
+    b, ns, d = values.shape
+    pad_row = jnp.full((b, 1, d), pad_value, dtype=values.dtype)
+    padded = jnp.concatenate([values, pad_row], axis=1)     # [B, Ns+1, D]
+    return jnp.take_along_axis(
+        padded[:, :, None, :],                              # [B, Ns+1, 1, D]
+        inds[:, :, :, None].astype(jnp.int32), axis=1)      # -> [B, Nq, K, D]
+
+
+def influence_weights(sq_distances: jnp.ndarray,
+                      kp_extent: float,
+                      influence: str) -> jnp.ndarray:
+    """Per-(neighbor, kernel point) influence from squared distances.
+
+    [B, Nq, K, Kp] -> [B, Nq, Kp, K] (transposed for the aggregation matmul).
+    """
+    if influence == "constant":
+        w = jnp.ones_like(sq_distances)
+    elif influence == "linear":
+        w = jnp.clip(1.0 - jnp.sqrt(sq_distances) / kp_extent, min=0.0)
+    elif influence == "gaussian":
+        sigma = kp_extent * 0.3
+        w = jnp.exp(-sq_distances / (2 * sigma ** 2 + 1e-9))
+    else:
+        raise ValueError(f"Unknown KP influence: {influence}")
+    return jnp.swapaxes(w, -1, -2)
+
+
+def kpconv(q_pts: jnp.ndarray,
+           s_pts: jnp.ndarray,
+           neighb_inds: jnp.ndarray,
+           x: jnp.ndarray,
+           kernel_points: jnp.ndarray,
+           weights: jnp.ndarray,
+           params: KPConvParams,
+           offsets: Optional[jnp.ndarray] = None,
+           modulations: Optional[jnp.ndarray] = None,
+           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Rigid or deformable KPConv over a dense sphere batch.
+
+    :param q_pts: [B, Nq, 3] query points
+    :param s_pts: [B, Ns, 3] support points
+    :param neighb_inds: [B, Nq, K] sphere-local support indices (Ns = shadow)
+    :param x: [B, Ns, Cin] support features
+    :param kernel_points: [Kp, 3]
+    :param weights: [Kp, Cin, Cout]
+    :param offsets: [B, Nq, Kp, 3] deformable kernel offsets (if deformable)
+    :param modulations: [B, Nq, Kp] in (0, 2) (if modulated)
+    :return: (out [B, Nq, Cout], min_sq_dist [B, Nq, Kp] or None)
+        min_sq_dist feeds the deformable fitting regularizer.
+    """
+    kp = kernel_points.shape[0]
+
+    # Neighbor coordinates relative to their query ([B, Nq, K, 3]);
+    # shadow index selects the far-away row -> huge distances -> zero weight.
+    neighbors = gather_neighbors(s_pts, neighb_inds, SHADOW_COORD)
+    neighbors = neighbors - q_pts[:, :, None, :]
+
+    if params.deformable:
+        if offsets is None:
+            raise ValueError("deformable KPConv requires offsets")
+        deformed = kernel_points[None, None] + offsets      # [B, Nq, Kp, 3]
+        diffs = neighbors[:, :, :, None, :] - deformed[:, :, None, :, :]
+    else:
+        diffs = neighbors[:, :, :, None, :] - kernel_points[None, None, None]
+    sq_distances = jnp.sum(diffs * diffs, axis=-1)          # [B, Nq, K, Kp]
+
+    min_sq = None
+    if params.deformable:
+        min_sq = jnp.min(sq_distances, axis=2)              # [B, Nq, Kp]
+
+    all_weights = influence_weights(
+        sq_distances, params.kp_extent, params.influence)   # [B, Nq, Kp, K]
+
+    if params.aggregation == "closest":
+        closest = jnp.argmin(sq_distances, axis=-1)         # [B, Nq, K]
+        onehot = jax.nn.one_hot(closest, kp, dtype=all_weights.dtype)
+        all_weights = all_weights * jnp.swapaxes(onehot, -1, -2)
+    elif params.aggregation != "sum":
+        raise ValueError(f"Unknown aggregation mode: {params.aggregation}")
+
+    if params.deformable:
+        # Mask neighbors outside every deformed kernel's extent; the
+        # reference drops them via topk re-indexing (blocks.py:300-325),
+        # which matters for 'constant' influence.
+        in_range = jnp.any(sq_distances < params.kp_extent ** 2, axis=-1)
+        all_weights = all_weights * in_range[:, :, None, :]
+
+    # Shadow features are an appended zero row
+    neighb_x = gather_neighbors(x, neighb_inds, 0.0)        # [B, Nq, K, Cin]
+
+    weighted = jnp.einsum("bqpk,bqkc->bqpc", all_weights, neighb_x,
+                          preferred_element_type=jnp.float32)
+
+    if params.deformable and params.modulated:
+        if modulations is None:
+            raise ValueError("modulated KPConv requires modulations")
+        weighted = weighted * modulations[..., None]
+
+    # One big GEMM: [B*Nq, Kp*Cin] @ [Kp*Cin, Cout]
+    b, nq = weighted.shape[:2]
+    cin, cout = weights.shape[1:]
+    out = (weighted.reshape(b * nq, kp * cin)
+           @ weights.reshape(kp * cin, cout)).reshape(b, nq, cout)
+    return out, min_sq
+
+
+# ----------------------------------------------------------------------------
+# Pooling / upsampling on the dense layout
+# ----------------------------------------------------------------------------
+
+def max_pool(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
+    """Max over each pooling neighborhood; shadow rows contribute zero.
+
+    (The zero shadow row matches the reference, models/blocks.py:95-111:
+    pooled maxima are clamped at >= 0.)
+    """
+    pooled = gather_neighbors(x, inds, 0.0)                 # [B, Nq, K, C]
+    return jnp.max(pooled, axis=2)
+
+
+def closest_pool(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
+    """Pool features of the nearest support (column 0 of sorted rows)."""
+    nearest = gather_neighbors(x, inds[:, :, :1], 0.0)      # [B, Nq, 1, C]
+    return nearest[:, :, 0, :]
+
+
+def global_average(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean over the point axis: [B, N, C] -> [B, C]."""
+    m = mask.astype(x.dtype)[..., None]
+    return jnp.sum(x * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1.0)
