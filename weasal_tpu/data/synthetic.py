@@ -1,0 +1,192 @@
+"""Synthetic aerial-LiDAR scene generator.
+
+No Vaihingen3D/DALES data ships with this environment, so tests, smoke
+training and benchmarks run on generated scenes that mimic the statistics of
+aerial laser scans: a smooth terrain surface, planar roofs with facades,
+scattered vegetation at several heights, cars, fences and powerlines —
+labeled with the Vaihingen3D 9-class nomenclature (reference
+datasets/Vaihingen3D_WeakLabel.py:64-72).
+
+`make_vaihingen_like_root` writes a full dataset directory in the raw format
+the dataset classes expect (`<root>/<cloud>.ply` with scalar_Intensity /
+scalar_Classification fields), so the real pipeline — prepare, subsample,
+anchors, train, test, refine — runs end-to-end on it.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Tuple
+
+import numpy as np
+
+from weasal_tpu.utils.ply import write_ply
+
+# Vaihingen3D class ids
+POWERLINE, LOW_VEG, SURFACE, CAR, FENCE, ROOF, FACADE, SHRUB, TREE = range(9)
+
+
+def synthetic_scene(rng: np.random.Generator,
+                    extent: float = 60.0,
+                    density: float = 8.0) -> Tuple[np.ndarray, np.ndarray,
+                                                   np.ndarray]:
+    """One synthetic tile. Returns (points [N,3], intensity [N], labels [N]).
+
+    `density` is points per square meter of ground surface.
+    """
+    n_ground = int(extent * extent * density)
+
+    def terrain(xy):
+        return (1.5 * np.sin(xy[:, 0] / 17.0) + 1.0 * np.cos(xy[:, 1] / 23.0)
+                + 0.3 * np.sin(xy[:, 0] / 5.0 + 1.7))
+
+    pts, labels = [], []
+
+    # Ground: impervious surfaces + low vegetation patches
+    xy = rng.uniform(0, extent, size=(n_ground, 2))
+    z = terrain(xy) + rng.normal(0, 0.03, n_ground)
+    ground = np.column_stack([xy, z])
+    veg_patch = (np.sin(xy[:, 0] / 7.0) * np.cos(xy[:, 1] / 9.0)) > 0.3
+    g_labels = np.where(veg_patch, LOW_VEG, SURFACE)
+    g_z_bump = np.where(veg_patch, rng.uniform(0, 0.3, n_ground), 0.0)
+    ground[:, 2] += g_z_bump
+    pts.append(ground)
+    labels.append(g_labels)
+
+    # Buildings: flat/gabled roofs + facades
+    n_buildings = max(2, int(extent * extent / 450))
+    for _ in range(n_buildings):
+        w, d = rng.uniform(6, 14, 2)
+        cx, cy = rng.uniform(w, extent - w), rng.uniform(d, extent - d)
+        h = rng.uniform(4, 10)
+        ground_z = terrain(np.array([[cx, cy]]))[0]
+        n_roof = int(w * d * density)
+        rxy = rng.uniform([-w / 2, -d / 2], [w / 2, d / 2], size=(n_roof, 2))
+        gable = rng.random() < 0.5
+        rz = ground_z + h + (np.abs(rxy[:, 0]) / (w / 2) * -1.5 if gable
+                             else 0.0) + rng.normal(0, 0.03, n_roof)
+        pts.append(np.column_stack([rxy[:, 0] + cx, rxy[:, 1] + cy, rz]))
+        labels.append(np.full(n_roof, ROOF))
+        # Facades: vertical walls on two sides
+        n_fac = int(2 * (w + d) * h * density / 8)
+        side = rng.integers(0, 4, n_fac)
+        t = rng.uniform(-0.5, 0.5, n_fac)
+        fx = np.where(side < 2, t * w, np.where(side == 2, -w / 2, w / 2))
+        fy = np.where(side < 2, np.where(side == 0, -d / 2, d / 2), t * d)
+        fz = ground_z + rng.uniform(0, h, n_fac)
+        pts.append(np.column_stack([fx + cx, fy + cy, fz]))
+        labels.append(np.full(n_fac, FACADE))
+
+    # Trees: spherical crowns + sparse trunks
+    n_trees = max(3, int(extent * extent / 200))
+    for _ in range(n_trees):
+        cx, cy = rng.uniform(2, extent - 2, 2)
+        ground_z = terrain(np.array([[cx, cy]]))[0]
+        ch = rng.uniform(6, 14)           # crown center height
+        cr = rng.uniform(1.5, 3.5)        # crown radius
+        n_crown = int(40 * cr * density / 8)
+        sph = rng.normal(size=(n_crown, 3))
+        sph = sph / np.linalg.norm(sph, axis=1, keepdims=True)
+        sph = sph * (cr * rng.random((n_crown, 1)) ** 0.4)
+        pts.append(sph + np.array([cx, cy, ground_z + ch]))
+        labels.append(np.full(n_crown, TREE))
+
+    # Shrubs: small low blobs
+    n_shrubs = max(3, int(extent * extent / 300))
+    for _ in range(n_shrubs):
+        cx, cy = rng.uniform(1, extent - 1, 2)
+        ground_z = terrain(np.array([[cx, cy]]))[0]
+        n_s = int(10 * density / 8)
+        blob = rng.normal(scale=[0.8, 0.8, 0.4], size=(n_s, 3))
+        pts.append(blob + np.array([cx, cy, ground_z + 0.7]))
+        labels.append(np.full(n_s, SHRUB))
+
+    # Cars: small boxes on the surface
+    n_cars = max(2, int(extent * extent / 500))
+    for _ in range(n_cars):
+        cx, cy = rng.uniform(3, extent - 3, 2)
+        ground_z = terrain(np.array([[cx, cy]]))[0]
+        n_c = int(15 * density / 8)
+        box = rng.uniform([-2, -1, 0], [2, 1, 1.6], size=(n_c, 3))
+        pts.append(box + np.array([cx, cy, ground_z]))
+        labels.append(np.full(n_c, CAR))
+
+    # Fences: thin vertical strips
+    n_fences = max(2, int(extent / 20))
+    for _ in range(n_fences):
+        x0, y0 = rng.uniform(2, extent - 2, 2)
+        ang = rng.uniform(0, np.pi)
+        length = rng.uniform(5, 15)
+        n_f = int(length * density / 2)
+        t = rng.uniform(0, length, n_f)
+        fx, fy = x0 + t * np.cos(ang), y0 + t * np.sin(ang)
+        fz = terrain(np.column_stack([fx, fy])) + rng.uniform(0, 1.2, n_f)
+        pts.append(np.column_stack([fx, fy, fz]))
+        labels.append(np.full(n_f, FENCE))
+
+    # Powerlines: catenary-ish wires high up
+    for _ in range(2):
+        y0 = rng.uniform(5, extent - 5)
+        n_p = int(extent * density / 8)
+        px = rng.uniform(0, extent, n_p)
+        pz = 12 + 2 * np.cos((px - extent / 2) / extent * np.pi) \
+            + rng.normal(0, 0.05, n_p)
+        pts.append(np.column_stack([px, np.full(n_p, y0)
+                                    + rng.normal(0, 0.1, n_p), pz]))
+        labels.append(np.full(n_p, POWERLINE))
+
+    points = np.vstack(pts).astype(np.float64)
+    labels = np.concatenate(labels).astype(np.int32)
+    intensity = np.clip(rng.normal(120, 40, points.shape[0]),
+                        0, 255).astype(np.float64)
+    order = rng.permutation(points.shape[0])
+    return points[order], intensity[order], labels[order]
+
+
+def make_vaihingen_like_root(root: str,
+                             extent: float = 60.0,
+                             density: float = 8.0,
+                             seed: int = 0,
+                             offset=(496000.0, 5419000.0, 200.0)) -> str:
+    """Write raw Vaihingen3D-format plys (training + testing tiles) to root.
+
+    Raw fields per the ISPRS export: x/y/z float64 with large UTM-like
+    coordinates, scalar_Intensity, scalar_Classification
+    (reference prepare_Vaihingen3D_ply, Vaihingen3D_WeakLabel.py:626-685).
+    """
+    os.makedirs(root, exist_ok=True)
+    for i, name in enumerate(["Vaihingen3D_Training", "Vaihingen3D_Testing"]):
+        path = join(root, name + ".ply")
+        if os.path.exists(path):
+            continue
+        rng = np.random.default_rng(seed + i)
+        pts, inten, lbl = synthetic_scene(rng, extent, density)
+        pts = pts + np.asarray(offset)
+        write_ply(path,
+                  [pts.astype(np.float64), inten, lbl.astype(np.int32)],
+                  ["x", "y", "z", "scalar_Intensity",
+                   "scalar_Classification"])
+    return root
+
+
+def make_dales_like_root(root: str,
+                         tile_names=("5080_54435", "5085_54320",
+                                     "test_5080_54400"),
+                         extent: float = 80.0,
+                         density: float = 4.0,
+                         seed: int = 10) -> str:
+    """Write raw DALES-format tiles (same raw field names) to root."""
+    os.makedirs(root, exist_ok=True)
+    for i, name in enumerate(tile_names):
+        path = join(root, name + ".ply")
+        if os.path.exists(path):
+            continue
+        rng = np.random.default_rng(seed + i)
+        pts, inten, lbl = synthetic_scene(rng, extent, density)
+        # DALES nomenclature also has 9 classes; the synthetic label ids are
+        # reused as-is (unknown/ground/veg/... mapping is nominal).
+        write_ply(path, [pts.astype(np.float64),
+                         lbl.astype(np.int32)],
+                  ["x", "y", "z", "scalar_Classification"])
+    return root
