@@ -1,0 +1,505 @@
+"""Training engine: functional optax loop for the WeakLabel and PseudoLabel
+stages.
+
+Port surface of the reference's ModelTrainer pair
+(utils/trainer_WeakLabel.py:56-566, utils/trainer_PseudoLabel.py) with the
+same artifact contract — `parameters.txt`, `training_iteration{al}.txt` rows
+`epoch step out_loss offset_loss train_accuracy time`, `val_IoUs.txt`,
+potentials plys, periodic confusion plots, `running_PID.txt` kill switch,
+`checkpoints/current_chkp.tar` + numbered checkpoints — and the same
+optimizer semantics (SGD momentum + weight decay, deform-LR parameter group,
+gradient clipping by norm (WL) or value (PL), per-epoch multiplicative LR
+decays).
+
+TPU re-design: the whole optimize step (forward, loss, backward, clip,
+update, BN-stat update) is one jitted function over a dense PyramidBatch;
+the host loop only samples spheres and logs. Data parallelism shards the
+sphere axis (weasal_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from functools import partial
+from os.path import exists, join
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from weasal_tpu.models import losses
+from weasal_tpu.models.architectures import (
+    KPFCNN, KPFCNN_mprm, valid_label_mapper)
+from weasal_tpu.utils import conf_matrix
+from weasal_tpu.utils.metrics import IoU_from_confusions, fast_confusion
+from weasal_tpu.utils.ply import write_ply
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    constants: Any
+    opt_state: Any
+
+
+def _offset_mask(params) -> Any:
+    """Pytree mask marking deformable-offset parameters ('offset' in path),
+    which train at lr * deform_lr_factor (reference
+    utils/trainer_WeakLabel.py:80-87)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_offset(path):
+        return any("offset" in str(getattr(p, "key", p)) for p in path)
+
+    paths = [is_offset(p) for p, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, paths)
+
+
+def make_optimizer(config, params, clip_mode: str = "norm"):
+    """Torch-equivalent SGD chain: clip -> +wd*param -> momentum ->
+    deform-group scale. The learning rate is applied in the train step so
+    epoch-wise decays never retrace."""
+    chain = []
+    if config.grad_clip_norm > 0:
+        if clip_mode == "norm":
+            chain.append(optax.clip_by_global_norm(config.grad_clip_norm))
+        else:
+            chain.append(optax.clip(config.grad_clip_norm))
+    if config.weight_decay:
+        chain.append(optax.add_decayed_weights(config.weight_decay))
+    chain.append(optax.trace(decay=config.momentum, nesterov=False))
+    mask = _offset_mask(params)
+    if jax.tree_util.tree_reduce(lambda a, b: a or b, mask, False):
+        chain.append(optax.masked(
+            optax.scale(config.deform_lr_factor), mask))
+    return optax.chain(*chain)
+
+
+def _model_for_config(config, label_values, ignored_labels):
+    name = getattr(config, "model_name", "KPFCNN_mprm")
+    if name == "KPFCNN_mprm":
+        return KPFCNN_mprm(config, tuple(label_values),
+                           tuple(ignored_labels))
+    if name == "KPFCNN":
+        return KPFCNN(config, tuple(label_values), tuple(ignored_labels))
+    raise ValueError(f"Unsupported model: {name}")
+
+
+class ModelTrainer:
+    """Drives one training stage over a dataset pair (train/validation)."""
+
+    def __init__(self, config, dataset, chkp_path: Optional[str] = None,
+                 finetune: bool = False, mode: Optional[str] = None,
+                 stage_dir: str = "WeakLabel"):
+        """
+        :param dataset: the training dataset (defines labels + shape plan)
+        :param chkp_path: checkpoint to restore (None = fresh)
+        :param mode: 'weak' | 'pseudo' (default from config.model_name)
+        :param stage_dir: results subdirectory (WeakLabel | PseudoLabel)
+        """
+        self.config = config
+        self.mode = mode or ("weak" if getattr(
+            config, "model_name", "KPFCNN_mprm") == "KPFCNN_mprm"
+            else "pseudo")
+        self.stage_dir = stage_dir
+        self.epoch = 0
+        self.step = 0
+
+        self.model = _model_for_config(config, dataset.label_values,
+                                       dataset.ignored_labels)
+        self.label_table = jnp.asarray(valid_label_mapper(
+            dataset.label_values, dataset.ignored_labels))
+        self.plan = dataset.calibration()
+        self.class_w = (jnp.asarray(np.asarray(config.class_w, np.float32))
+                        if len(config.class_w) else None)
+
+        # Initialize variables on one example batch
+        rng = np.random.default_rng(0)
+        batch, _ = dataset.next_batch(rng, self.plan)
+        variables = self.model.init(jax.random.PRNGKey(0), batch,
+                                    train=False)
+        params = variables["params"]
+        self.tx = make_optimizer(
+            config, params,
+            clip_mode="norm" if self.mode == "weak" else "value")
+        self.state = TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            constants=variables.get("constants", {}),
+            opt_state=self.tx.init(params))
+        self.lr = config.learning_rate
+
+        if chkp_path is not None:
+            self.load_checkpoint(chkp_path, finetune=finetune)
+
+        if config.saving:
+            if config.saving_path is None:
+                config.saving_path = time.strftime(
+                    f"results/{stage_dir}/Log_%Y-%m-%d_%H-%M-%S",
+                    time.gmtime())
+            os.makedirs(config.saving_path, exist_ok=True)
+            config.save()
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+
+    def _variables(self, state: TrainState) -> Dict:
+        v = {"params": state.params, "constants": state.constants}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def _build_train_step(self):
+        model, mode, config = self.model, self.mode, self.config
+        loss_type = getattr(config, "loss_type", "region_mprm_loss")
+        class_w = self.class_w
+        label_table = self.label_table
+        tx = self.tx
+        contrast_thd = float(getattr(config, "contrast_thd", 20)) / 100.0
+        num_classes = config.num_classes
+
+        @partial(jax.jit, static_argnames=("use_contrast",))
+        def train_step(state: TrainState, batch, lr, dropout_rng,
+                       use_contrast: bool = False):
+            def loss_fn(params):
+                variables = {"params": params,
+                             "constants": state.constants,
+                             "batch_stats": state.batch_stats}
+                out, mutated = model.apply(
+                    variables, batch, train=True,
+                    mutable=["batch_stats", "deform"],
+                    rngs={"dropout": dropout_rng,
+                          "contrast": dropout_rng})
+                deform_aux = mutated.get("deform", {})
+                reg_loss = 0.0
+                if deform_aux:
+                    reg_loss = losses.p2p_fitting_regularizer(
+                        deform_aux, config.repulse_extent,
+                        config.deform_fitting_power,
+                        config.num_kernel_points)
+
+                if mode == "weak":
+                    logits, cla_logits, cam = out
+                    if loss_type == "region_mprm_loss":
+                        out_loss = losses.region_mprm_loss(
+                            cam, batch.region_inds, batch.region_masks,
+                            batch.region_point_masks, batch.region_lb,
+                            class_w)
+                    else:
+                        out_loss = losses.class_logits_loss(
+                            cla_logits, batch.cloud_lb, class_w)
+                else:
+                    logits = out
+                    raw = batch.labels
+                    targets = jnp.where(
+                        raw >= 0, label_table[jnp.clip(raw, 0, None)], -1)
+                    out_loss = losses.softmax_cross_entropy(
+                        logits, targets, class_w)
+                    if use_contrast:
+                        b, n0, c = logits.shape
+                        flat_logits = logits.reshape(-1, c)
+                        flat_labels = jnp.where(
+                            raw.reshape(-1) >= 0, raw.reshape(-1),
+                            num_classes + 1)
+                        flat_valid = batch.masks[0].reshape(-1)
+                        out_loss = out_loss + losses.contrast_loss(
+                            flat_logits, flat_labels, flat_valid,
+                            dropout_rng, num_classes, contrast_thd)
+
+                raw = batch.labels
+                targets = jnp.where(
+                    raw >= 0, label_table[jnp.clip(raw, 0, None)], -1)
+                acc = losses.accuracy(logits, targets)
+                total = out_loss + reg_loss
+                new_bs = mutated.get("batch_stats", state.batch_stats)
+                return total, (new_bs, out_loss, reg_loss, acc)
+
+            grads, (new_bs, out_loss, reg_loss, acc) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=new_params,
+                                      batch_stats=new_bs,
+                                      opt_state=new_opt)
+            return new_state, out_loss, reg_loss, acc
+
+        return train_step
+
+    def _build_eval_step(self):
+        model, mode = self.model, self.mode
+
+        @jax.jit
+        def eval_step(state: TrainState, batch):
+            out = model.apply(self._variables(state), batch, train=False)
+            logits = out[0] if mode == "weak" else out
+            return jax.nn.softmax(logits, axis=-1)
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # Checkpointing (same file naming as the reference)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, directory: str, name: str = "current_chkp.tar"):
+        os.makedirs(directory, exist_ok=True)
+        payload = {
+            "epoch": self.epoch,
+            "model_state_dict": jax.device_get(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats,
+                 "constants": self.state.constants}),
+            "optimizer_state_dict": jax.device_get(self.state.opt_state),
+            "saving_path": self.config.saving_path,
+        }
+        with open(join(directory, name), "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_checkpoint(self, path: str, finetune: bool = False):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        model_state = payload["model_state_dict"]
+        self.state = self.state.replace(
+            params=model_state["params"],
+            batch_stats=model_state["batch_stats"],
+            constants=model_state["constants"])
+        if not finetune:
+            self.state = self.state.replace(
+                opt_state=payload["optimizer_state_dict"])
+            self.epoch = payload["epoch"]
+        print("Model restored" + (" for finetuning." if finetune
+                                  else " with training state."))
+
+    # ------------------------------------------------------------------
+    # Main loop
+    # ------------------------------------------------------------------
+
+    def train(self, train_dataset, val_dataset=None, al_iteration: int = 0):
+        config = self.config
+        self.al_iteration = al_iteration
+        rng = np.random.default_rng(42 + al_iteration)
+        dropout_key = jax.random.PRNGKey(al_iteration)
+
+        if config.saving:
+            log_file = join(config.saving_path,
+                            f"training_iteration{al_iteration}.txt")
+            with open(log_file, "w") as f:
+                header = self._log_header(train_dataset, al_iteration)
+                f.write(header)
+            pid_file = join(config.saving_path, "running_PID.txt")
+            if not exists(pid_file):
+                with open(pid_file, "w") as f:
+                    f.write("Launched\n")
+            chkp_dir = join(config.saving_path, "checkpoints")
+            os.makedirs(chkp_dir, exist_ok=True)
+        else:
+            log_file = pid_file = chkp_dir = None
+
+        # Per-epoch decayed LR, resuming mid-schedule like the reference
+        lr = config.learning_rate
+        for e in range(self.epoch):
+            if e in config.lr_decays:
+                lr *= config.lr_decays[e]
+        self.lr = lr
+
+        t0 = time.time()
+        last_display = time.time()
+        while self.epoch < config.max_epoch:
+            self.step = 0
+            for _ in range(config.epoch_steps):
+                if config.saving and pid_file and not exists(pid_file):
+                    break
+                batch, _ = train_dataset.next_batch(rng, self.plan)
+                if self.mode == "weak" and not np.any(
+                        np.asarray(batch.region_masks)):
+                    continue  # no sub-region labels -> no loss signal
+                dropout_key, sub = jax.random.split(dropout_key)
+                use_contrast = (self.mode == "pseudo"
+                                and self.epoch >= getattr(
+                                    config, "contrast_start", 1 << 30))
+                self.state, out_loss, reg_loss, acc = self._train_step(
+                    self.state, batch, jnp.float32(self.lr), sub,
+                    use_contrast=use_contrast)
+
+                if time.time() - last_display > 1.0:
+                    last_display = time.time()
+                    print(f"e{self.epoch:03d}-i{self.step:04d} => "
+                          f"L={float(out_loss):.3f} "
+                          f"acc={100 * float(acc):3.0f}% "
+                          f"| al_iteration={al_iteration}")
+                if config.saving:
+                    with open(log_file, "a") as f:
+                        f.write(f"{self.epoch:d} {self.step:d} "
+                                f"{float(out_loss):.3f} "
+                                f"{float(reg_loss):.3f} {float(acc):.3f} "
+                                f"{time.time() - t0:.3f}\n")
+                self.step += 1
+
+            if config.saving and pid_file and not exists(pid_file):
+                break
+
+            if self.epoch in config.lr_decays:
+                self.lr *= config.lr_decays[self.epoch]
+            self.epoch += 1
+
+            if config.saving:
+                self.save_checkpoint(chkp_dir)
+                if (self.epoch + 1) % config.checkpoint_gap == 0:
+                    self.save_checkpoint(
+                        chkp_dir,
+                        f"chkp_{self.epoch + 1:04d}_{al_iteration}.tar")
+
+            if val_dataset is not None:
+                self.cloud_segmentation_validation(val_dataset)
+
+            # Cooperative kill file removed once training completes
+            # (the reference clears it on its final epoch,
+            # utils/trainer_WeakLabel.py:170-172)
+            if self.epoch >= config.max_epoch and pid_file and \
+                    exists(pid_file):
+                os.remove(pid_file)
+
+        print("Finished Training")
+
+    def _log_header(self, train_dataset, al_iteration) -> str:
+        cfg = self.config
+        if self.mode == "weak" and hasattr(train_dataset, "anchors"):
+            n_files = len(train_dataset.cloud_names_split)
+            init = (getattr(cfg, "initial_labels_per_file", 0) * n_files
+                    + al_iteration * getattr(cfg, "added_labels_per_epoch", 0)
+                    * n_files)
+            over = int(np.sum([len(a) for a in train_dataset.anchors]))
+            return ("epochs steps out_loss offset_loss train_accuracy time "
+                    f"\tweak labels (initial): {over} ({init})\n")
+        gt_count = 0
+        if self.mode == "pseudo":
+            for cloud_name in train_dataset.cloud_names_split:
+                gt_file = join(train_dataset.tree_path,
+                               cloud_name + "_al_groundTruth_IDs.pkl")
+                if exists(gt_file):
+                    with open(gt_file, "rb") as f:
+                        gt_count += len(pickle.load(f))
+        return ("epochs steps out_loss offset_loss train_accuracy time "
+                f"\tground truth labels: {gt_count}\n")
+
+    # ------------------------------------------------------------------
+    # Validation (reference cloud_segmentation_validation,
+    # utils/trainer_WeakLabel.py:312-566)
+    # ------------------------------------------------------------------
+
+    def cloud_segmentation_validation(self, val_dataset, debug=False):
+        config = self.config
+        val_smooth = 0.95
+        nc_model = config.num_classes
+        rng = np.random.default_rng(7 + self.epoch)
+
+        if not hasattr(self, "validation_probs") or \
+                len(self.validation_probs) != val_dataset.num_clouds:
+            self.validation_probs = [
+                np.zeros((l.shape[0], nc_model))
+                for l in val_dataset.input_labels]
+            self.val_proportions = np.zeros(nc_model, np.float32)
+            i = 0
+            for label_value in val_dataset.label_values:
+                if label_value not in val_dataset.ignored_labels:
+                    self.val_proportions[i] = np.sum(
+                        [np.sum(lbl == label_value)
+                         for lbl in val_dataset.validation_labels])
+                    i += 1
+
+        predictions, targets = [], []
+        for _ in range(config.validation_size):
+            batch, metas = val_dataset.next_batch(rng, self.plan,
+                                                  augment=False)
+            probs_all = np.asarray(self._eval_step(self.state, batch))
+            labels_all = np.asarray(batch.labels)
+            for b, meta in enumerate(metas):
+                n = meta["n_real"]
+                probs = probs_all[b, :n]
+                inds = meta["input_inds"][:n]
+                c_i = meta["cloud_ind"]
+                self.validation_probs[c_i][inds] = \
+                    val_smooth * self.validation_probs[c_i][inds] \
+                    + (1 - val_smooth) * probs
+                predictions.append(probs)
+                targets.append(labels_all[b, :n])
+
+        # Sub-part confusions with proportion rebalance
+        label_values = val_dataset.label_values
+        Confs = []
+        for probs, truth in zip(predictions, targets):
+            for l_ind, label_value in enumerate(label_values):
+                if label_value in val_dataset.ignored_labels:
+                    probs = np.insert(probs, l_ind, 0, axis=1)
+            preds = label_values[np.argmax(probs, axis=1)]
+            truth_vals = label_values[np.clip(truth, 0, None)]
+            Confs.append(fast_confusion(truth_vals, preds, label_values))
+        C = np.sum(np.stack(Confs), axis=0).astype(np.float32)
+        for l_ind, label_value in reversed(list(enumerate(label_values))):
+            if label_value in val_dataset.ignored_labels:
+                C = np.delete(C, l_ind, axis=0)
+                C = np.delete(C, l_ind, axis=1)
+        C *= np.expand_dims(
+            self.val_proportions / (np.sum(C, axis=1) + 1e-6), 1)
+        IoUs = IoU_from_confusions(C)
+        mIoU = 100 * float(np.mean(IoUs))
+        print(f"{config.dataset} mean IoU = {mIoU:.1f}%")
+
+        if config.saving:
+            line = " ".join(f"{IoU:.3f}" for IoU in IoUs) + " \n"
+            val_file = join(config.saving_path, "val_IoUs.txt")
+            with open(val_file, "a" if exists(val_file) else "w") as f:
+                f.write(line)
+
+            if val_dataset.use_potentials:
+                pot_path = join(config.saving_path, "potentials")
+                os.makedirs(pot_path, exist_ok=True)
+                for i, file_path in enumerate(val_dataset.files):
+                    pot_points = np.asarray(val_dataset.pot_trees[i].data)
+                    cloud_name = file_path.split("/")[-1]
+                    pots = val_dataset.potentials[i].astype(np.float32)
+                    write_ply(join(pot_path, cloud_name),
+                              [pot_points.astype(np.float32), pots],
+                              ["x", "y", "z", "pots"])
+
+            if (self.epoch + 1) % config.checkpoint_gap == 0:
+                self._save_val_confusions(val_dataset)
+        return mIoU
+
+    def _save_val_confusions(self, val_dataset):
+        config = self.config
+        val_path = join(config.saving_path,
+                        f"val_preds_{self.al_iteration}_{self.epoch + 1}")
+        os.makedirs(val_path, exist_ok=True)
+        label_values = val_dataset.label_values
+        n_tot = len(label_values)
+        Confs = np.zeros((n_tot, n_tot), np.int32)
+        for i, file_path in enumerate(val_dataset.files):
+            sub_probs = self.validation_probs[i]
+            for l_ind, label_value in enumerate(label_values):
+                if label_value in val_dataset.ignored_labels:
+                    sub_probs = np.insert(sub_probs, l_ind, 0, axis=1)
+            sub_preds = label_values[np.argmax(sub_probs, axis=1)]
+            preds = sub_preds[val_dataset.test_proj[i]].astype(np.int32)
+            labels = val_dataset.validation_labels[i].astype(np.int32)
+            Confs += fast_confusion(labels, preds, label_values).astype(
+                np.int32)
+        np.savetxt(join(val_path, "conf.txt"), Confs, fmt="%i")
+        names = {k: v for k, v in val_dataset.label_to_names.items()
+                 if k not in val_dataset.ignored_labels}
+        conf_matrix.plot(
+            Confs[:len(names), :len(names)], names, val_path,
+            file_suffix=f"{val_dataset.name}_{val_dataset.split}",
+            abs_vals=False, F1=True, iou=True, show=False)
