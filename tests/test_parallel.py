@@ -1,0 +1,81 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from weasal_tpu.config import Config
+from weasal_tpu.data.demo import demo_batch
+from weasal_tpu.models.architectures import KPFCNN_mprm
+from weasal_tpu.models import losses
+from weasal_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicate, shard_batch)
+
+
+class TinyConfig(Config):
+    dataset = "Vaihingen3DWL"
+    num_classes = 5
+    in_features_dim = 4
+    first_features_dim = 16
+    num_kernel_points = 15
+    in_radius = 4.0
+    first_subsampling_dl = 0.5
+    conv_radius = 2.5
+    architecture = ["simple", "resnetb", "resnetb_strided", "resnetb",
+                    "resnetb_strided", "resnetb",
+                    "nearest_upsample", "nearest_upsample"]
+    use_batch_norm = True
+    batch_norm_momentum = 0.02
+
+
+@pytest.fixture(scope="module")
+def problem():
+    config = TinyConfig()
+    batch, plan = demo_batch(config, batch_size=8, seed=0, density=6.0)
+    model = KPFCNN_mprm(config, tuple(range(5)), ())
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return config, batch, model, variables
+
+
+def test_mesh_and_sharding(problem):
+    config, batch, model, variables = problem
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    sharded = shard_batch(batch, mesh)
+    # Sphere axis is split 8 ways
+    assert sharded.features.sharding == batch_sharding(mesh)
+    assert sharded.features.addressable_shards[0].data.shape[0] == 1
+
+
+def test_data_parallel_grad_matches_single_device(problem):
+    """The sharded gradient (implicit psum) equals the single-device one."""
+    config, batch, model, variables = problem
+    mesh = make_mesh(8)
+
+    def loss_fn(params, batch):
+        out, _ = model.apply(
+            {"params": params, "constants": variables["constants"],
+             "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"])
+        _logits, cla_logits, _cam = out
+        return losses.class_logits_loss(cla_logits, batch.cloud_lb)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    l_single, g_single = grad_fn(variables["params"], batch)
+
+    params_rep = replicate(variables["params"], mesh)
+    batch_sharded = shard_batch(batch, mesh)
+    l_shard, g_shard = grad_fn(params_rep, batch_sharded)
+
+    np.testing.assert_allclose(float(l_single), float(l_shard), rtol=1e-5)
+    flat_s = jax.tree_util.tree_leaves(g_single)
+    flat_p = jax.tree_util.tree_leaves(g_shard)
+    for a, b in zip(flat_s, flat_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

@@ -123,8 +123,8 @@ class ModelTrainer:
         # Initialize variables on one example batch
         rng = np.random.default_rng(0)
         batch, _ = dataset.next_batch(rng, self.plan)
-        variables = self.model.init(jax.random.PRNGKey(0), batch,
-                                    train=False)
+        from weasal_tpu.models.init import jit_init
+        variables = jit_init(self.model, jax.random.PRNGKey(0), batch)
         params = variables["params"]
         self.tx = make_optimizer(
             config, params,
@@ -322,6 +322,9 @@ class ModelTrainer:
                 if config.saving and pid_file and not exists(pid_file):
                     break
                 batch, _ = train_dataset.next_batch(rng, self.plan)
+                if getattr(self, "mesh", None) is not None:
+                    from weasal_tpu.parallel.mesh import shard_batch
+                    batch = shard_batch(batch, self.mesh)
                 if self.mode == "weak" and not np.any(
                         np.asarray(batch.region_masks)):
                     continue  # no sub-region labels -> no loss signal
