@@ -142,6 +142,9 @@ class KPConv(nn.Module):
     deformable: bool = False
     modulated: bool = False
     pose_seed: int = 0
+    compute_dtype: str = "float32"
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     def _init_kernel_points(self):
         kp = load_kernels(self.radius, self.kernel_size, self.p_dim,
@@ -167,6 +170,7 @@ class KPConv(nn.Module):
                 fixed_kernel_points=self.fixed_kernel_points,
                 influence=self.influence, aggregation=self.aggregation,
                 pose_seed=self.pose_seed + 1,
+                compute_dtype=self.compute_dtype,
                 name="offset_conv")(q_pts, s_pts, neighb_inds, x)
             offset_bias = self.param("offset_bias", nn.initializers.zeros,
                                      (offset_dim,))
@@ -185,7 +189,9 @@ class KPConv(nn.Module):
         params = KPConvParams(
             kp_extent=self.kp_extent, influence=self.influence,
             aggregation=self.aggregation, deformable=self.deformable,
-            modulated=self.modulated)
+            modulated=self.modulated, compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret)
         out, min_sq = ops.kpconv(q_pts, s_pts, neighb_inds, x, kernel_points,
                                  weights, params, offsets=offsets,
                                  modulations=modulations)
@@ -238,6 +244,9 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
         influence=cfg.KP_influence, aggregation=cfg.aggregation_mode,
         deformable="deform" in block_name, modulated=cfg.modulated,
         pose_seed=seed & 0x7FFFFFFF,
+        compute_dtype=getattr(cfg, "compute_dtype", "float32"),
+        use_pallas=bool(getattr(cfg, "use_pallas_kpconv", False)),
+        pallas_interpret=bool(getattr(cfg, "pallas_interpret", False)),
         name=name)
 
 

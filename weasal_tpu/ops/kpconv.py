@@ -46,6 +46,9 @@ class KPConvParams(NamedTuple):
     aggregation: str = "sum"         # 'sum' | 'closest'
     deformable: bool = False
     modulated: bool = False
+    compute_dtype: str = "float32"   # 'float32' | 'bfloat16' (MXU inputs)
+    use_pallas: bool = False         # fused Pallas kernel (rigid sum only)
+    pallas_interpret: bool = False   # interpreter mode (CPU testing)
 
 
 def gather_neighbors(values: jnp.ndarray,
@@ -107,6 +110,16 @@ def kpconv(q_pts: jnp.ndarray,
     """
     kp = kernel_points.shape[0]
 
+    if (params.use_pallas and not params.deformable
+            and params.aggregation == "sum"):
+        from weasal_tpu.ops.pallas.kpconv_pallas import \
+            kpconv_batched_pallas
+        out = kpconv_batched_pallas(
+            q_pts, s_pts, neighb_inds, x, kernel_points, weights,
+            kp_extent=params.kp_extent, influence=params.influence,
+            interpret=params.pallas_interpret)
+        return out, None
+
     # Neighbor coordinates relative to their query ([B, Nq, K, 3]);
     # shadow index selects the far-away row -> huge distances -> zero weight.
     neighbors = gather_neighbors(s_pts, neighb_inds, SHADOW_COORD)
@@ -145,7 +158,13 @@ def kpconv(q_pts: jnp.ndarray,
     # Shadow features are an appended zero row
     neighb_x = gather_neighbors(x, neighb_inds, 0.0)        # [B, Nq, K, Cin]
 
-    weighted = jnp.einsum("bqpk,bqkc->bqpc", all_weights, neighb_x,
+    # MXU inputs optionally in bfloat16 with float32 accumulation: the two
+    # contractions carry ~all FLOPs of the network
+    mxu_dtype = (jnp.bfloat16 if params.compute_dtype == "bfloat16"
+                 else jnp.float32)
+    weighted = jnp.einsum("bqpk,bqkc->bqpc",
+                          all_weights.astype(mxu_dtype),
+                          neighb_x.astype(mxu_dtype),
                           preferred_element_type=jnp.float32)
 
     if params.deformable and params.modulated:
@@ -156,9 +175,10 @@ def kpconv(q_pts: jnp.ndarray,
     # One big GEMM: [B*Nq, Kp*Cin] @ [Kp*Cin, Cout]
     b, nq = weighted.shape[:2]
     cin, cout = weights.shape[1:]
-    out = (weighted.reshape(b * nq, kp * cin)
-           @ weights.reshape(kp * cin, cout)).reshape(b, nq, cout)
-    return out, min_sq
+    out = jnp.dot(weighted.reshape(b * nq, kp * cin).astype(mxu_dtype),
+                  weights.reshape(kp * cin, cout).astype(mxu_dtype),
+                  preferred_element_type=jnp.float32)
+    return out.reshape(b, nq, cout), min_sq
 
 
 # ----------------------------------------------------------------------------
