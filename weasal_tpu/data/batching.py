@@ -87,6 +87,7 @@ def build_sphere_pyramid(points: np.ndarray,
                          config,
                          rng: Optional[np.random.Generator] = None,
                          max_neighbors: Optional[Sequence[int]] = None,
+                         max_pool_neighbors: Optional[Sequence[int]] = None,
                          random_grid_orient: bool = True) -> Dict:
     """Host pyramid of one sphere: per-level points + neighbor index lists.
 
@@ -122,8 +123,10 @@ def build_sphere_pyramid(points: np.ndarray,
         neighbors.append(radius_search(level_points[l], level_points[l],
                                        conv_r[l], max_count=cap))
         if l < L - 1:
+            pool_cap = (max_pool_neighbors[l]
+                        if max_pool_neighbors is not None else cap)
             pools.append(radius_search(level_points[l + 1], level_points[l],
-                                       pool_r[l], max_count=cap))
+                                       pool_r[l], max_count=pool_cap))
             up = radius_search(level_points[l], level_points[l + 1],
                                up_r[l], max_count=1)
             upsamples.append(up)

@@ -544,7 +544,8 @@ class CloudSegmentationDataset:
                                          max_points=plan.num_points[0])
             pyramid = build_sphere_pyramid(
                 payload["points"], self.config, rng=rng,
-                max_neighbors=None)
+                max_neighbors=plan.conv_neighbors,
+                max_pool_neighbors=plan.pool_neighbors)
             spheres.append(dict(pyramid=pyramid,
                                 features=payload["features"],
                                 labels=payload["labels"],

@@ -48,6 +48,20 @@ def radius_search(queries: np.ndarray,
     supports = np.asarray(supports, dtype=np.float32)
     n_s = supports.shape[0]
 
+    # Fixed-width queries go through the native bucket-grid kernel when built
+    if max_count:
+        from weasal_tpu.ops import native
+        if native.available():
+            return native.radius_search_native(queries, supports,
+                                               float(radius), max_count)
+    return radius_search_scipy(queries, supports, radius, max_count)
+
+
+def radius_search_scipy(queries, supports, radius, max_count=0):
+    """cKDTree reference implementation (oracle for the native kernel)."""
+    queries = np.asarray(queries, dtype=np.float32)
+    supports = np.asarray(supports, dtype=np.float32)
+    n_s = supports.shape[0]
     tree = cKDTree(supports)
     neighbor_lists = tree.query_ball_point(queries, r=radius)
 

@@ -59,6 +59,16 @@ def grid_subsample(points: np.ndarray,
     (ties -> smallest label value).
     """
     points = np.asarray(points, dtype=np.float32)
+
+    from weasal_tpu.ops import native
+    if native.available():
+        return native.grid_subsample_native(points, features, labels, dl)
+    return grid_subsample_numpy(points, features, labels, dl)
+
+
+def grid_subsample_numpy(points, features=None, labels=None, dl=0.1):
+    """Pure-numpy reference implementation (oracle for the native kernel)."""
+    points = np.asarray(points, dtype=np.float32)
     lin, _ = _voxel_ids(points, dl)
     uniq, inv, counts = np.unique(lin, return_inverse=True,
                                   return_counts=True)
