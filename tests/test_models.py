@@ -219,3 +219,25 @@ class TestContrastLoss:
             threshold=0.2, slc_con=64)
         assert np.isfinite(float(loss))
         assert float(loss) >= 0
+
+
+class TestKPCNN:
+
+    def test_classification_forward(self):
+        import jax
+        from weasal_tpu.models.architectures import KPCNN
+
+        class ClsConfig(TinyWLConfig):
+            architecture = ["simple", "resnetb", "resnetb_strided",
+                            "resnetb", "resnetb_strided", "resnetb",
+                            "global_average"]
+            num_classes = 5
+
+        cfg = ClsConfig()
+        batch, _ = make_batch(cfg, with_regions=False)
+        model = KPCNN(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        logits, _ = model.apply(variables, batch, train=True,
+                                mutable=["batch_stats"])
+        assert logits.shape == (2, 5)
+        assert np.all(np.isfinite(np.asarray(logits)))

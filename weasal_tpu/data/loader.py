@@ -1,0 +1,125 @@
+"""Background batch prefetching: host/device overlap for the train loop.
+
+The reference hides its (C++-heavy) batch building behind 10 DataLoader
+worker processes with shared-memory potential state
+(train_Vaihingen3D_WeakLabel.py:279-296, SURVEY §2.3). Here batch building
+is cheaper (native geometry kernels) but still host work, so a small
+pipeline keeps the accelerator fed:
+
+- a producer thread runs `dataset.next_batch` ahead of the consumer and
+  queues up to `prefetch` ready batches,
+- sphere *pyramids* inside one batch are built by a thread pool (the numpy/
+  native kernels release the GIL in their hot loops),
+- potentials stay single-writer: only the producer thread touches them,
+  preserving the reference's sampling semantics without locks.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BatchPrefetcher:
+    """Iterator producing (batch, metas) tuples ahead of consumption."""
+
+    def __init__(self, dataset, plan, num_batches: int,
+                 rng: Optional[np.random.Generator] = None,
+                 prefetch: int = 2,
+                 augment: Optional[bool] = None,
+                 num_spheres: Optional[int] = None):
+        self.dataset = dataset
+        self.plan = plan
+        self.num_batches = num_batches
+        self.rng = rng or np.random.default_rng()
+        self.augment = augment
+        self.num_spheres = num_spheres
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._error = None
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            for _ in range(self.num_batches):
+                item = self.dataset.next_batch(
+                    self.rng, self.plan, num_spheres=self.num_spheres,
+                    augment=self.augment)
+                self._queue.put(item)
+        except BaseException as e:                     # surface in consumer
+            self._error = e
+        finally:
+            self._queue.put(None)
+
+    def __iter__(self) -> Iterator:
+        produced = 0
+        while produced < self.num_batches:
+            item = self._queue.get()
+            if item is None:
+                if self._error is not None:
+                    raise self._error
+                return
+            produced += 1
+            yield item
+
+    def close(self):
+        # Drain so the producer can exit
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class ParallelSphereBuilder:
+    """Thread-pool pyramid building for the spheres of one batch.
+
+    Sphere *sampling* (potential updates) stays sequential in the calling
+    thread; only the independent pyramid builds fan out.
+    """
+
+    def __init__(self, dataset, max_workers: int = 4):
+        self.dataset = dataset
+        self.pool = ThreadPoolExecutor(max_workers=max_workers)
+
+    def next_batch(self, rng, plan, num_spheres=None, augment=None):
+        from weasal_tpu.data.batching import (
+            assemble_batch, build_sphere_pyramid)
+        ds = self.dataset
+        b = num_spheres or ds.config.batch_num
+        if augment is None:
+            augment = ds.split == "training"
+
+        payloads = [ds.sample_sphere(rng, augment=augment,
+                                     max_points=plan.num_points[0])
+                    for _ in range(b)]
+        seeds = rng.integers(0, 2 ** 31, size=b)
+
+        def build(args):
+            payload, seed = args
+            return build_sphere_pyramid(
+                payload["points"], ds.config,
+                rng=np.random.default_rng(int(seed)),
+                max_neighbors=plan.conv_neighbors,
+                max_pool_neighbors=plan.pool_neighbors)
+
+        pyramids = list(self.pool.map(build, zip(payloads, seeds)))
+        spheres, metas = [], []
+        for payload, pyramid in zip(payloads, pyramids):
+            spheres.append(dict(pyramid=pyramid,
+                                features=payload["features"],
+                                labels=payload["labels"],
+                                center=payload["center"],
+                                cloud_lb=payload["cloud_lb"],
+                                regions=payload["regions"]))
+            metas.append(dict(cloud_ind=payload["cloud_ind"],
+                              input_inds=payload["input_inds"],
+                              center=payload["center"],
+                              n_real=min(payload["points"].shape[0],
+                                         plan.num_points[0])))
+        batch = assemble_batch(spheres, plan, ds.config.num_classes, rng=rng)
+        return batch, metas

@@ -42,6 +42,7 @@ DEFAULT_TILE = 128
 
 
 def _influence(d2, kp_extent: float, mode: str):
+    d2 = jnp.maximum(d2, 0.0)   # matmul distance form can go tiny-negative
     if mode == "constant":
         return jnp.ones_like(d2)
     if mode == "linear":
@@ -55,10 +56,15 @@ def _influence(d2, kp_extent: float, mode: str):
 def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
                 wacc_ref, *, kp_extent: float, influence: str,
                 n_support: int, mxu_dtype):
-    """One query tile: accumulate weighted features, then the output GEMM."""
+    """One query tile: accumulate weighted features, then the output GEMM.
+
+    Scratch layout [Kp, T, Cin]: all per-kernel-point work uses 2-D slices
+    (Mosaic cannot lower 3D<->2D shape casts over unaligned minor dims).
+    """
     t, k_width = nb_ref.shape
     kp = kp_ref.shape[0]
     cin = x_ref.shape[1]
+    cout = out_ref.shape[1]
 
     q = q_ref[:]                                          # [T, 3]
     kp_pts = kp_ref[:]                                    # [Kp, 3]
@@ -66,16 +72,17 @@ def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
 
     wacc_ref[:] = jnp.zeros_like(wacc_ref)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_support), 1)
+    sx = jnp.concatenate([s_ref[:], x_ref[:]], axis=1).astype(mxu_dtype)
 
     for k in range(k_width):
         idx = nb_ref[:, k]                                # [T]
         valid = (idx < n_support).astype(jnp.float32)     # [T]
         onehot = (col_ids == idx[:, None]).astype(mxu_dtype)
 
-        coords = jnp.dot(onehot, s_ref[:].astype(mxu_dtype),
-                         preferred_element_type=jnp.float32)      # [T, 3]
-        xk = jnp.dot(onehot, x_ref[:].astype(mxu_dtype),
-                     preferred_element_type=jnp.float32)          # [T, Cin]
+        gathered = jnp.dot(onehot, sx,
+                           preferred_element_type=jnp.float32)  # [T, 3+Cin]
+        coords = gathered[:, :3]
+        xk = gathered[:, 3:]
 
         rel = coords - q                                  # [T, 3]
         d2 = (jnp.sum(rel * rel, axis=1, keepdims=True) + kp_norm2[None]
@@ -83,15 +90,18 @@ def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
                               preferred_element_type=jnp.float32))
         infl = _influence(d2, kp_extent, influence) * valid[:, None]
 
-        wacc_ref[:] += (infl[:, :, None] * xk[:, None, :]).reshape(
-            t, kp * cin)
+        for p in range(kp):
+            wacc_ref[p] += infl[:, p:p + 1] * xk
 
-    out_ref[:] = jnp.dot(wacc_ref[:].astype(mxu_dtype), w_ref[:],
-                         preferred_element_type=jnp.float32)
+    acc = jnp.zeros((t, cout), jnp.float32)
+    for p in range(kp):
+        acc += jnp.dot(wacc_ref[p].astype(mxu_dtype), w_ref[p],
+                       preferred_element_type=jnp.float32)
+    out_ref[:] = acc
 
 
 def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
-                dx_ref, dw_ref, wacc_ref, *, kp_extent: float,
+                dx_ref, dw_ref, wacc_ref, dr_ref, *, kp_extent: float,
                 influence: str, n_support: int, mxu_dtype):
     """Backward tile: recompute influences, emit dX / dW as matmuls."""
     t, k_width = nb_ref.shape
@@ -108,22 +118,23 @@ def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
     kp_norm2 = jnp.sum(kp_pts * kp_pts, axis=1)
     g = g_ref[:]                                          # [T, Cout]
 
-    # dR = g @ W^T  -> [T, Kp, Cin]
-    dr = jnp.dot(g.astype(mxu_dtype), w_ref[:].T,
-                 preferred_element_type=jnp.float32).reshape(t, kp, cin)
-
+    # dR_p = g @ W_p^T, hoisted out of the neighbor loop -> [Kp][T, Cin]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_support), 1)
-    wacc_ref[:] = jnp.zeros_like(wacc_ref)
+    for p in range(kp):
+        wacc_ref[p] = jnp.zeros_like(wacc_ref[p])
+        dr_ref[p] = jnp.dot(g.astype(mxu_dtype), w_ref[p].T,
+                            preferred_element_type=jnp.float32)
 
+    sx = jnp.concatenate([s_ref[:], x_ref[:]], axis=1).astype(mxu_dtype)
     for k in range(k_width):
         idx = nb_ref[:, k]
         valid = (idx < n_support).astype(jnp.float32)
         onehot = (col_ids == idx[:, None]).astype(mxu_dtype)
 
-        coords = jnp.dot(onehot, s_ref[:].astype(mxu_dtype),
-                         preferred_element_type=jnp.float32)
-        xk = jnp.dot(onehot, x_ref[:].astype(mxu_dtype),
-                     preferred_element_type=jnp.float32)
+        gathered = jnp.dot(onehot, sx,
+                           preferred_element_type=jnp.float32)
+        coords = gathered[:, :3]
+        xk = gathered[:, 3:]
 
         rel = coords - q
         d2 = (jnp.sum(rel * rel, axis=1, keepdims=True) + kp_norm2[None]
@@ -131,18 +142,20 @@ def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
                               preferred_element_type=jnp.float32))
         infl = _influence(d2, kp_extent, influence) * valid[:, None]
 
-        # Recompute weighted features for dW
-        wacc_ref[:] += (infl[:, :, None] * xk[:, None, :]).reshape(
-            t, kp * cin)
+        dxk = jnp.zeros((t, cin), jnp.float32)
+        for p in range(kp):
+            # Recompute weighted features for dW
+            wacc_ref[p] += infl[:, p:p + 1] * xk
+            # dx_k[t, c] = sum_p infl[t, p] * (g @ W_p^T)[t, c]
+            dxk += infl[:, p:p + 1] * dr_ref[p]
 
-        # dx_k[t, c] = sum_p infl[t, p] * dr[t, p, c]   (VPU)
-        dxk = jnp.sum(infl[:, :, None] * dr, axis=1)      # [T, Cin]
         dx_ref[:] += jnp.dot(onehot.T, dxk.astype(mxu_dtype),
                              preferred_element_type=jnp.float32)
 
-    dw_ref[:] += jnp.dot(wacc_ref[:].T.astype(mxu_dtype),
-                         g.astype(mxu_dtype),
-                         preferred_element_type=jnp.float32)
+    for p in range(kp):
+        dw_ref[p] += jnp.dot(wacc_ref[p].T.astype(mxu_dtype),
+                             g.astype(mxu_dtype),
+                             preferred_element_type=jnp.float32)
 
 
 def _pad_rows(a, multiple):
@@ -186,7 +199,7 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
         nb_pad = nb_pad.at[nq:].set(ns)
     n_tiles = q_pad.shape[0] // tile
 
-    w2d = weights.reshape(kp * cin, cout).astype(mxu_dtype)
+    w3d = weights.astype(mxu_dtype)
 
     kernel = functools.partial(
         _fwd_kernel, kp_extent=kp_extent, influence=influence,
@@ -205,15 +218,15 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp * cin, cout), lambda i: (0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q_pad.shape[0], cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile, kp * cin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32)],
         interpret=interpret,
-    )(q_pad, nb_pad, s_pts, x, kernel_points, w2d)
+    )(q_pad, nb_pad, s_pts, x, kernel_points, w3d)
     return out[:nq], (q_pad, nb_pad, s_pts, x, kernel_points, weights, nq)
 
 
@@ -232,7 +245,7 @@ def _bwd_rule(kp_extent, influence, tile, interpret, res, g):
 
     g_pad, _ = _pad_rows(g, tile)
     n_tiles = q_pad.shape[0] // tile
-    w2d = weights.reshape(kp * cin, cout).astype(mxu_dtype)
+    w3d = weights.astype(mxu_dtype)
 
     kernel = functools.partial(
         _bwd_kernel, kp_extent=kp_extent, influence=influence,
@@ -251,7 +264,7 @@ def _bwd_rule(kp_extent, influence, tile, interpret, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp * cin, cout), lambda i: (0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -259,18 +272,19 @@ def _bwd_rule(kp_extent, influence, tile, interpret, res, g):
         out_specs=[
             pl.BlockSpec((ns, cin), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp * cin, cout), lambda i: (0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((ns, cin), jnp.float32),
-            jax.ShapeDtypeStruct((kp * cin, cout), jnp.float32),
+            jax.ShapeDtypeStruct((kp, cin, cout), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile, kp * cin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32),
+                        pltpu.VMEM((kp, tile, cin), jnp.float32)],
         interpret=interpret,
-    )(q_pad, nb_pad, s_pts, x, kernel_points, w2d, g_pad)
+    )(q_pad, nb_pad, s_pts, x, kernel_points, w3d, g_pad)
 
-    dweights = dw.reshape(kp, cin, cout)
+    dweights = dw
     zeros_q = jnp.zeros((nq, 3), jnp.float32)
     zeros_s = jnp.zeros_like(s_pts)
     # Integer input: symbolic-zero cotangent (float0)

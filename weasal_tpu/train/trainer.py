@@ -314,14 +314,27 @@ class ModelTrainer:
                 lr *= config.lr_decays[e]
         self.lr = lr
 
+        # Host input pipeline: thread-pool pyramid builds + prefetch ahead
+        # of the device (replaces the reference's DataLoader workers)
+        from weasal_tpu.data.loader import (
+            BatchPrefetcher, ParallelSphereBuilder)
+        threads = max(int(getattr(config, "input_threads", 1) or 1), 1)
+        if threads > 1:
+            batch_source = ParallelSphereBuilder(
+                train_dataset, max_workers=min(threads, 8))
+        else:
+            batch_source = train_dataset
+
         t0 = time.time()
         last_display = time.time()
         while self.epoch < config.max_epoch:
             self.step = 0
-            for _ in range(config.epoch_steps):
+            prefetcher = BatchPrefetcher(batch_source, self.plan,
+                                         config.epoch_steps, rng=rng)
+            for batch, _ in prefetcher:
                 if config.saving and pid_file and not exists(pid_file):
+                    prefetcher.close()
                     break
-                batch, _ = train_dataset.next_batch(rng, self.plan)
                 if getattr(self, "mesh", None) is not None:
                     from weasal_tpu.parallel.mesh import shard_batch
                     batch = shard_batch(batch, self.mesh)
