@@ -68,27 +68,36 @@ def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
 
     q = q_ref[:]                                          # [T, 3]
     kp_pts = kp_ref[:]                                    # [Kp, 3]
-    kp_norm2 = jnp.sum(kp_pts * kp_pts, axis=1)           # [Kp]
 
     wacc_ref[:] = jnp.zeros_like(wacc_ref)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_support), 1)
-    sx = jnp.concatenate([s_ref[:], x_ref[:]], axis=1).astype(mxu_dtype)
+    # Split-precision support table: the MXU runs at bf16 granularity on
+    # this platform even for f32 operands, but one-hot x bf16 products are
+    # exact, so coords = gather(hi) + gather(lo) recovers full f32
+    # coordinate precision (influence weights need it at meter scale).
+    s_hi = s_ref[:].astype(jnp.bfloat16).astype(mxu_dtype)
+    s_lo = (s_ref[:] - s_hi.astype(jnp.float32)).astype(mxu_dtype)
+    table = jnp.concatenate(
+        [s_hi, s_lo, x_ref[:].astype(mxu_dtype)], axis=1)
 
     for k in range(k_width):
-        idx = nb_ref[:, k]                                # [T]
-        valid = (idx < n_support).astype(jnp.float32)     # [T]
-        onehot = (col_ids == idx[:, None]).astype(mxu_dtype)
+        idx = nb_ref[:, k:k + 1]                          # [T, 1]
+        valid = (idx < n_support).astype(jnp.float32)     # [T, 1]
+        onehot = (col_ids == idx).astype(mxu_dtype)
 
-        gathered = jnp.dot(onehot, sx,
-                           preferred_element_type=jnp.float32)  # [T, 3+Cin]
-        coords = gathered[:, :3]
-        xk = gathered[:, 3:]
+        gathered = jnp.dot(onehot, table,
+                           preferred_element_type=jnp.float32)  # [T,6+Cin]
+        coords = gathered[:, :3] + gathered[:, 3:6]
+        xk = gathered[:, 6:]
 
         rel = coords - q                                  # [T, 3]
-        d2 = (jnp.sum(rel * rel, axis=1, keepdims=True) + kp_norm2[None]
-              - 2.0 * jnp.dot(rel, kp_pts.T,
-                              preferred_element_type=jnp.float32))
-        infl = _influence(d2, kp_extent, influence) * valid[:, None]
+        # Explicit per-axis distances (exact VPU math; the matmul form
+        # would round at bf16)
+        d2 = jnp.zeros((t, kp), jnp.float32)
+        for d in range(3):
+            diff = rel[:, d:d + 1] - kp_pts[:, d:d + 1].T
+            d2 += diff * diff
+        infl = _influence(d2, kp_extent, influence) * valid
 
         for p in range(kp):
             wacc_ref[p] += infl[:, p:p + 1] * xk
@@ -102,20 +111,25 @@ def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
 
 def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
                 dx_ref, dw_ref, wacc_ref, dr_ref, *, kp_extent: float,
-                influence: str, n_support: int, mxu_dtype):
+                influence: str, n_support: int, mxu_dtype,
+                n_tiles: int):
     """Backward tile: recompute influences, emit dX / dW as matmuls."""
     t, k_width = nb_ref.shape
     kp = kp_ref.shape[0]
     cin = x_ref.shape[1]
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
+    # Flat grid over (sphere, tile): dx re-inits at each sphere's first
+    # tile, dw once at the very first step
+    @pl.when(pl.program_id(0) % n_tiles == 0)
+    def _init_dx():
         dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init_dw():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     q = q_ref[:]
     kp_pts = kp_ref[:]
-    kp_norm2 = jnp.sum(kp_pts * kp_pts, axis=1)
     g = g_ref[:]                                          # [T, Cout]
 
     # dR_p = g @ W_p^T, hoisted out of the neighbor loop -> [Kp][T, Cin]
@@ -125,22 +139,26 @@ def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
         dr_ref[p] = jnp.dot(g.astype(mxu_dtype), w_ref[p].T,
                             preferred_element_type=jnp.float32)
 
-    sx = jnp.concatenate([s_ref[:], x_ref[:]], axis=1).astype(mxu_dtype)
+    s_hi = s_ref[:].astype(jnp.bfloat16).astype(mxu_dtype)
+    s_lo = (s_ref[:] - s_hi.astype(jnp.float32)).astype(mxu_dtype)
+    table = jnp.concatenate(
+        [s_hi, s_lo, x_ref[:].astype(mxu_dtype)], axis=1)
     for k in range(k_width):
-        idx = nb_ref[:, k]
+        idx = nb_ref[:, k:k + 1]
         valid = (idx < n_support).astype(jnp.float32)
-        onehot = (col_ids == idx[:, None]).astype(mxu_dtype)
+        onehot = (col_ids == idx).astype(mxu_dtype)
 
-        gathered = jnp.dot(onehot, sx,
+        gathered = jnp.dot(onehot, table,
                            preferred_element_type=jnp.float32)
-        coords = gathered[:, :3]
-        xk = gathered[:, 3:]
+        coords = gathered[:, :3] + gathered[:, 3:6]
+        xk = gathered[:, 6:]
 
         rel = coords - q
-        d2 = (jnp.sum(rel * rel, axis=1, keepdims=True) + kp_norm2[None]
-              - 2.0 * jnp.dot(rel, kp_pts.T,
-                              preferred_element_type=jnp.float32))
-        infl = _influence(d2, kp_extent, influence) * valid[:, None]
+        d2 = jnp.zeros((t, kp), jnp.float32)
+        for d in range(3):
+            diff = rel[:, d:d + 1] - kp_pts[:, d:d + 1].T
+            d2 += diff * diff
+        infl = _influence(d2, kp_extent, influence) * valid
 
         dxk = jnp.zeros((t, cin), jnp.float32)
         for p in range(kp):
@@ -170,11 +188,12 @@ def _pad_rows(a, multiple):
 def kpconv_rigid_pallas(q_pts, s_pts, neighb_inds, x, kernel_points,
                         weights, kp_extent: float, influence: str,
                         tile: int, interpret: bool):
-    """Fused rigid KPConv for ONE sphere.
+    """Fused rigid KPConv over a dense sphere batch.
 
-    :param q_pts: [Nq, 3]; s_pts: [Ns, 3]; neighb_inds: [Nq, K] (Ns=shadow)
-    :param x: [Ns, Cin]; kernel_points: [Kp, 3]; weights: [Kp, Cin, Cout]
-    :return: [Nq, Cout] float32
+    :param q_pts: [B, Nq, 3]; s_pts: [B, Ns, 3]
+    :param neighb_inds: [B, Nq, K] (Ns = shadow)
+    :param x: [B, Ns, Cin]; kernel_points: [Kp, 3]; weights: [Kp,Cin,Cout]
+    :return: [B, Nq, Cout] float32
     """
     out, _ = _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points,
                        weights, kp_extent, influence, tile, interpret)
@@ -183,8 +202,8 @@ def kpconv_rigid_pallas(q_pts, s_pts, neighb_inds, x, kernel_points,
 
 def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
               kp_extent, influence, tile, interpret):
-    nq = q_pts.shape[0]
-    ns, cin = x.shape
+    b, nq = q_pts.shape[:2]
+    ns, cin = x.shape[1:]
     kp, _, cout = weights.shape
     kernel_points = kernel_points.astype(jnp.float32)
     mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
@@ -192,29 +211,37 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
     # Shadow-safe neighbor clamp: anything >= Ns acts as shadow
     nb = jnp.minimum(neighb_inds.astype(jnp.int32), ns)
 
-    q_pad, pad = _pad_rows(q_pts, tile)
-    nb_pad, _ = _pad_rows(nb, tile)
-    # Padded query rows: all-shadow neighbors
-    if pad:
-        nb_pad = nb_pad.at[nq:].set(ns)
-    n_tiles = q_pad.shape[0] // tile
+    pad = (-nq) % tile
+    q_pad = jnp.pad(q_pts, ((0, 0), (0, pad), (0, 0)))
+    nb_pad = jnp.pad(nb, ((0, 0), (0, pad), (0, 0)),
+                     constant_values=ns)
+    n_tiles = (nq + pad) // tile
 
     w3d = weights.astype(mxu_dtype)
+
+    # Flat 2-D layout: spheres stacked on the row axis; the grid is
+    # (B * n_tiles,) and support blocks select their sphere's slab via the
+    # index map (Pallas squeezed-batch BlockSpecs mis-lower on this
+    # platform, so everything stays 2-D)
+    q2 = q_pad.reshape(b * (nq + pad), 3)
+    nb2 = nb_pad.reshape(b * (nq + pad), nb_pad.shape[2])
+    s2 = s_pts.reshape(b * ns, 3)
+    x2 = x.reshape(b * ns, cin)
 
     kernel = functools.partial(
         _fwd_kernel, kp_extent=kp_extent, influence=influence,
         n_support=ns, mxu_dtype=mxu_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(b * n_tiles,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, nb_pad.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile, nb_pad.shape[2]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, 3), lambda i: (0, 0),
+            pl.BlockSpec((ns, 3), lambda i: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, cin), lambda i: (0, 0),
+            pl.BlockSpec((ns, cin), lambda i: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -223,11 +250,14 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q_pad.shape[0], cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * (nq + pad), cout),
+                                       jnp.float32),
         scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32)],
         interpret=interpret,
-    )(q_pad, nb_pad, s_pts, x, kernel_points, w3d)
-    return out[:nq], (q_pad, nb_pad, s_pts, x, kernel_points, weights, nq)
+    )(q2, nb2, s2, x2, kernel_points, w3d)
+    out = out.reshape(b, nq + pad, cout)
+    return out[:, :nq], (q_pad, nb_pad, s_pts, x, kernel_points, weights,
+                         nq)
 
 
 def _fwd_rule(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
@@ -239,28 +269,36 @@ def _fwd_rule(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
 
 def _bwd_rule(kp_extent, influence, tile, interpret, res, g):
     q_pad, nb_pad, s_pts, x, kernel_points, weights, nq = res
-    ns, cin = x.shape
+    b = q_pad.shape[0]
+    ns, cin = x.shape[1:]
     kp, _, cout = weights.shape
     mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    g_pad, _ = _pad_rows(g, tile)
-    n_tiles = q_pad.shape[0] // tile
+    pad = q_pad.shape[1] - nq
+    g_pad = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    n_tiles = q_pad.shape[1] // tile
     w3d = weights.astype(mxu_dtype)
+
+    q2 = q_pad.reshape(-1, 3)
+    nb2 = nb_pad.reshape(-1, nb_pad.shape[2])
+    s2 = s_pts.reshape(b * ns, 3)
+    x2 = x.reshape(b * ns, cin)
+    g2 = g_pad.reshape(-1, cout)
 
     kernel = functools.partial(
         _bwd_kernel, kp_extent=kp_extent, influence=influence,
-        n_support=ns, mxu_dtype=mxu_dtype)
+        n_support=ns, mxu_dtype=mxu_dtype, n_tiles=n_tiles)
     dx, dw = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(b * n_tiles,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, nb_pad.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile, nb_pad.shape[2]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, 3), lambda i: (0, 0),
+            pl.BlockSpec((ns, 3), lambda i: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, cin), lambda i: (0, 0),
+            pl.BlockSpec((ns, cin), lambda i: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -270,26 +308,27 @@ def _bwd_rule(kp_extent, influence, tile, interpret, res, g):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ns, cin), lambda i: (0, 0),
+            pl.BlockSpec((ns, cin), lambda i: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, cin, cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ns, cin), jnp.float32),
+            jax.ShapeDtypeStruct((b * ns, cin), jnp.float32),
             jax.ShapeDtypeStruct((kp, cin, cout), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32),
                         pltpu.VMEM((kp, tile, cin), jnp.float32)],
         interpret=interpret,
-    )(q_pad, nb_pad, s_pts, x, kernel_points, w3d, g_pad)
+    )(q2, nb2, s2, x2, kernel_points, w3d, g2)
+    dx = dx.reshape(b, ns, cin)
 
     dweights = dw
-    zeros_q = jnp.zeros((nq, 3), jnp.float32)
+    zeros_q = jnp.zeros((b, nq, 3), jnp.float32)
     zeros_s = jnp.zeros_like(s_pts)
     # Integer input: symbolic-zero cotangent (float0)
     import numpy as np
-    zeros_nb = np.zeros((nq, nb_pad.shape[1]), dtype=jax.dtypes.float0)
+    zeros_nb = np.zeros((b, nq, nb_pad.shape[2]), dtype=jax.dtypes.float0)
     zeros_kp = jnp.zeros_like(kernel_points)
     return zeros_q, zeros_s, zeros_nb, dx, zeros_kp, dweights
 
@@ -302,11 +341,9 @@ def kpconv_batched_pallas(q_pts, s_pts, neighb_inds, x, kernel_points,
                           influence: str = "linear",
                           tile: int = DEFAULT_TILE,
                           interpret: bool = False):
-    """Batched wrapper: vmap the fused single-sphere kernel over B."""
-    def call(q, s, nb, xx, kpts, w):
-        return kpconv_rigid_pallas(q, s, nb, xx, kpts, w,
-                                   float(kp_extent), influence, tile,
-                                   interpret)
-
-    return jax.vmap(call, in_axes=(0, 0, 0, 0, None, None))(
-        q_pts, s_pts, neighb_inds, x, kernel_points, weights)
+    """Batched fused KPConv: the sphere axis is a grid dimension (the
+    kernel's accumulation logic depends on grid positions, so the batch is
+    folded into the grid rather than vmapped)."""
+    return kpconv_rigid_pallas(q_pts, s_pts, neighb_inds, x, kernel_points,
+                               weights, float(kp_extent), influence, tile,
+                               interpret)
