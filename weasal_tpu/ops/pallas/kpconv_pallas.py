@@ -80,8 +80,10 @@ def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
     table = jnp.concatenate(
         [s_hi, s_lo, x_ref[:].astype(mxu_dtype)], axis=1)
 
-    for k in range(k_width):
-        idx = nb_ref[:, k:k + 1]                          # [T, 1]
+    def k_body(k, _):
+        # fori_loop bounds intermediate liveness (an unrolled loop keeps
+        # every [T, Ns] one-hot alive at once and blows scoped VMEM)
+        idx = nb_ref[:, pl.ds(k, 1)]                      # [T, 1]
         valid = (idx < n_support).astype(jnp.float32)     # [T, 1]
         onehot = (col_ids == idx).astype(mxu_dtype)
 
@@ -101,6 +103,9 @@ def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
 
         for p in range(kp):
             wacc_ref[p] += infl[:, p:p + 1] * xk
+        return 0
+
+    jax.lax.fori_loop(0, k_width, k_body, 0)
 
     acc = jnp.zeros((t, cout), jnp.float32)
     for p in range(kp):
@@ -143,8 +148,8 @@ def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
     s_lo = (s_ref[:] - s_hi.astype(jnp.float32)).astype(mxu_dtype)
     table = jnp.concatenate(
         [s_hi, s_lo, x_ref[:].astype(mxu_dtype)], axis=1)
-    for k in range(k_width):
-        idx = nb_ref[:, k:k + 1]
+    def k_body(k, _):
+        idx = nb_ref[:, pl.ds(k, 1)]
         valid = (idx < n_support).astype(jnp.float32)
         onehot = (col_ids == idx).astype(mxu_dtype)
 
@@ -169,6 +174,9 @@ def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
 
         dx_ref[:] += jnp.dot(onehot.T, dxk.astype(mxu_dtype),
                              preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, k_width, k_body, 0)
 
     for p in range(kp):
         dw_ref[p] += jnp.dot(wacc_ref[p].T.astype(mxu_dtype),
