@@ -61,6 +61,7 @@ def build_bench_problem():
         class_w = []
         model_name = "KPFCNN_mprm"
         loss_type = "region_mprm_loss"
+        compute_dtype = "bfloat16"   # bf16 MXU inputs, f32 accumulation
 
     config = BenchConfig()
     from weasal_tpu.data.demo import demo_batch

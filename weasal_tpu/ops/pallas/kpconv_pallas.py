@@ -24,8 +24,15 @@ Semantics are identical to ops.kpconv (rigid path): shadow neighbors
 influence is masked), rows are arbitrary-order tolerant, influence modes
 'constant' | 'linear' | 'gaussian', aggregation 'sum'.
 
-Single-sphere; vmap over the batch axis. Tested against the XLA op in
-interpret mode on CPU; selected at runtime via ops.kpconv dispatch.
+Status (round 1): numerics verified on v5e hardware against a numpy oracle
+(both this kernel and the XLA path agree to bf16 tolerance when inputs are
+jit arguments). Throughput currently trails the XLA path by ~1.5-2x because
+the per-slot one-hot rebuild dominates (each [T, Ns] comparison is VPU
+work); the planned fix is spatially-banded support windows (voxel-sorted
+points => neighbor indices of a query tile live in a narrow band, shrinking
+Ns per one-hot by ~5-10x). Until then the XLA path stays the default
+(config.use_pallas_kpconv=False). Backward at Cin>=256 can exceed the 16MB
+scoped-VMEM budget.
 """
 
 from __future__ import annotations
@@ -55,21 +62,28 @@ def _influence(d2, kp_extent: float, mode: str):
 
 def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
                 wacc_ref, *, kp_extent: float, influence: str,
-                n_support: int, mxu_dtype):
-    """One query tile: accumulate weighted features, then the output GEMM.
+                n_support: int, mxu_dtype, k_width: int):
+    """Grid = (sphere-tile, neighbor-slot k).
 
-    Scratch layout [Kp, T, Cin]: all per-kernel-point work uses 2-D slices
-    (Mosaic cannot lower 3D<->2D shape casts over unaligned minor dims).
+    Each step gathers one neighbor slot for one query tile (one-hot MXU
+    matmul), accumulates influence-weighted features into the persistent
+    [Kp, T, Cin] scratch, and emits the output GEMM on the final slot.
+    Scratch layout keeps all per-kernel-point work in 2-D slices (Mosaic
+    cannot lower 3D<->2D shape casts over unaligned minor dims), and the
+    neighbor slot lives on the grid because dynamic lane indexing must be
+    128-aligned.
     """
-    t, k_width = nb_ref.shape
+    t = q_ref.shape[0]
     kp = kp_ref.shape[0]
-    cin = x_ref.shape[1]
     cout = out_ref.shape[1]
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        wacc_ref[:] = jnp.zeros_like(wacc_ref)
 
     q = q_ref[:]                                          # [T, 3]
     kp_pts = kp_ref[:]                                    # [Kp, 3]
-
-    wacc_ref[:] = jnp.zeros_like(wacc_ref)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_support), 1)
     # Split-precision support table: the MXU runs at bf16 granularity on
     # this platform even for f32 operands, but one-hot x bf16 products are
@@ -80,56 +94,53 @@ def _fwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, out_ref,
     table = jnp.concatenate(
         [s_hi, s_lo, x_ref[:].astype(mxu_dtype)], axis=1)
 
-    def k_body(k, _):
-        # fori_loop bounds intermediate liveness (an unrolled loop keeps
-        # every [T, Ns] one-hot alive at once and blows scoped VMEM)
-        idx = nb_ref[:, pl.ds(k, 1)]                      # [T, 1]
-        valid = (idx < n_support).astype(jnp.float32)     # [T, 1]
-        onehot = (col_ids == idx).astype(mxu_dtype)
+    idx = nb_ref[:, 0:1]                                  # [T, 1]
+    valid = (idx < n_support).astype(jnp.float32)         # [T, 1]
+    onehot = (col_ids == idx).astype(mxu_dtype)
 
-        gathered = jnp.dot(onehot, table,
-                           preferred_element_type=jnp.float32)  # [T,6+Cin]
-        coords = gathered[:, :3] + gathered[:, 3:6]
-        xk = gathered[:, 6:]
+    gathered = jnp.dot(onehot, table,
+                       preferred_element_type=jnp.float32)      # [T,6+Cin]
+    coords = gathered[:, :3] + gathered[:, 3:6]
+    xk = gathered[:, 6:]
 
-        rel = coords - q                                  # [T, 3]
-        # Explicit per-axis distances (exact VPU math; the matmul form
-        # would round at bf16)
-        d2 = jnp.zeros((t, kp), jnp.float32)
-        for d in range(3):
-            diff = rel[:, d:d + 1] - kp_pts[:, d:d + 1].T
-            d2 += diff * diff
-        infl = _influence(d2, kp_extent, influence) * valid
+    rel = coords - q                                      # [T, 3]
+    # Explicit per-axis distances (exact VPU math; the matmul form would
+    # round at bf16)
+    d2 = jnp.zeros((t, kp), jnp.float32)
+    for d in range(3):
+        diff = rel[:, d:d + 1] - kp_pts[:, d:d + 1].T
+        d2 += diff * diff
+    infl = _influence(d2, kp_extent, influence) * valid
 
-        for p in range(kp):
-            wacc_ref[p] += infl[:, p:p + 1] * xk
-        return 0
-
-    jax.lax.fori_loop(0, k_width, k_body, 0)
-
-    acc = jnp.zeros((t, cout), jnp.float32)
     for p in range(kp):
-        acc += jnp.dot(wacc_ref[p].astype(mxu_dtype), w_ref[p],
-                       preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+        wacc_ref[p] += infl[:, p:p + 1] * xk
+
+    @pl.when(k == k_width - 1)
+    def _emit():
+        acc = jnp.zeros((t, cout), jnp.float32)
+        for p in range(kp):
+            acc += jnp.dot(wacc_ref[p].astype(mxu_dtype), w_ref[p],
+                           preferred_element_type=jnp.float32)
+        out_ref[:] = acc
 
 
 def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
                 dx_ref, dw_ref, wacc_ref, dr_ref, *, kp_extent: float,
                 influence: str, n_support: int, mxu_dtype,
-                n_tiles: int):
-    """Backward tile: recompute influences, emit dX / dW as matmuls."""
-    t, k_width = nb_ref.shape
+                n_tiles: int, k_width: int):
+    """Backward over grid (sphere-tile, neighbor-slot): dX and dW come out
+    as transposed matmuls (no scatters)."""
+    t = q_ref.shape[0]
     kp = kp_ref.shape[0]
     cin = x_ref.shape[1]
+    i = pl.program_id(0)
+    k = pl.program_id(1)
 
-    # Flat grid over (sphere, tile): dx re-inits at each sphere's first
-    # tile, dw once at the very first step
-    @pl.when(pl.program_id(0) % n_tiles == 0)
+    @pl.when((i % n_tiles == 0) & (k == 0))
     def _init_dx():
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when((i == 0) & (k == 0))
     def _init_dw():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
@@ -137,51 +148,52 @@ def _bwd_kernel(q_ref, nb_ref, s_ref, x_ref, kp_ref, w_ref, g_ref,
     kp_pts = kp_ref[:]
     g = g_ref[:]                                          # [T, Cout]
 
-    # dR_p = g @ W_p^T, hoisted out of the neighbor loop -> [Kp][T, Cin]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_support), 1)
-    for p in range(kp):
-        wacc_ref[p] = jnp.zeros_like(wacc_ref[p])
-        dr_ref[p] = jnp.dot(g.astype(mxu_dtype), w_ref[p].T,
-                            preferred_element_type=jnp.float32)
+    @pl.when(k == 0)
+    def _precompute():
+        # dR_p = g @ W_p^T, computed once per tile into persistent scratch
+        for p in range(kp):
+            wacc_ref[p] = jnp.zeros_like(wacc_ref[p])
+            dr_ref[p] = jnp.dot(g.astype(mxu_dtype), w_ref[p].T,
+                                preferred_element_type=jnp.float32)
 
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n_support), 1)
     s_hi = s_ref[:].astype(jnp.bfloat16).astype(mxu_dtype)
     s_lo = (s_ref[:] - s_hi.astype(jnp.float32)).astype(mxu_dtype)
     table = jnp.concatenate(
         [s_hi, s_lo, x_ref[:].astype(mxu_dtype)], axis=1)
-    def k_body(k, _):
-        idx = nb_ref[:, pl.ds(k, 1)]
-        valid = (idx < n_support).astype(jnp.float32)
-        onehot = (col_ids == idx).astype(mxu_dtype)
 
-        gathered = jnp.dot(onehot, table,
-                           preferred_element_type=jnp.float32)
-        coords = gathered[:, :3] + gathered[:, 3:6]
-        xk = gathered[:, 6:]
+    idx = nb_ref[:, 0:1]
+    valid = (idx < n_support).astype(jnp.float32)
+    onehot = (col_ids == idx).astype(mxu_dtype)
 
-        rel = coords - q
-        d2 = jnp.zeros((t, kp), jnp.float32)
-        for d in range(3):
-            diff = rel[:, d:d + 1] - kp_pts[:, d:d + 1].T
-            d2 += diff * diff
-        infl = _influence(d2, kp_extent, influence) * valid
+    gathered = jnp.dot(onehot, table,
+                       preferred_element_type=jnp.float32)
+    coords = gathered[:, :3] + gathered[:, 3:6]
+    xk = gathered[:, 6:]
 
-        dxk = jnp.zeros((t, cin), jnp.float32)
-        for p in range(kp):
-            # Recompute weighted features for dW
-            wacc_ref[p] += infl[:, p:p + 1] * xk
-            # dx_k[t, c] = sum_p infl[t, p] * (g @ W_p^T)[t, c]
-            dxk += infl[:, p:p + 1] * dr_ref[p]
+    rel = coords - q
+    d2 = jnp.zeros((t, kp), jnp.float32)
+    for d in range(3):
+        diff = rel[:, d:d + 1] - kp_pts[:, d:d + 1].T
+        d2 += diff * diff
+    infl = _influence(d2, kp_extent, influence) * valid
 
-        dx_ref[:] += jnp.dot(onehot.T, dxk.astype(mxu_dtype),
-                             preferred_element_type=jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, k_width, k_body, 0)
-
+    dxk = jnp.zeros((t, cin), jnp.float32)
     for p in range(kp):
-        dw_ref[p] += jnp.dot(wacc_ref[p].T.astype(mxu_dtype),
-                             g.astype(mxu_dtype),
-                             preferred_element_type=jnp.float32)
+        # Recompute weighted features for dW
+        wacc_ref[p] += infl[:, p:p + 1] * xk
+        # dx_k[t, c] = sum_p infl[t, p] * (g @ W_p^T)[t, c]
+        dxk += infl[:, p:p + 1] * dr_ref[p]
+
+    dx_ref[:] += jnp.dot(onehot.T, dxk.astype(mxu_dtype),
+                         preferred_element_type=jnp.float32)
+
+    @pl.when(k == k_width - 1)
+    def _emit_dw():
+        for p in range(kp):
+            dw_ref[p] += jnp.dot(wacc_ref[p].T.astype(mxu_dtype),
+                                 g.astype(mxu_dtype),
+                                 preferred_element_type=jnp.float32)
 
 
 def _pad_rows(a, multiple):
@@ -228,41 +240,45 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
     w3d = weights.astype(mxu_dtype)
 
     # Flat 2-D layout: spheres stacked on the row axis; the grid is
-    # (B * n_tiles,) and support blocks select their sphere's slab via the
-    # index map (Pallas squeezed-batch BlockSpecs mis-lower on this
-    # platform, so everything stays 2-D)
+    # (B * n_tiles, K) and support blocks select their sphere's slab via
+    # the index map (Pallas squeezed-batch BlockSpecs mis-lower on this
+    # platform, so everything stays 2-D). Neighbors go k-major with a
+    # single lane so each grid step loads exactly one slot column.
     q2 = q_pad.reshape(b * (nq + pad), 3)
-    nb2 = nb_pad.reshape(b * (nq + pad), nb_pad.shape[2])
+    nbt = jnp.transpose(nb_pad, (2, 0, 1)).reshape(-1, 1)
     s2 = s_pts.reshape(b * ns, 3)
     x2 = x.reshape(b * ns, cin)
+    row_blocks = b * n_tiles
 
+    k_width = nb_pad.shape[2]
     kernel = functools.partial(
         _fwd_kernel, kp_extent=kp_extent, influence=influence,
-        n_support=ns, mxu_dtype=mxu_dtype)
+        n_support=ns, mxu_dtype=mxu_dtype, k_width=k_width)
     out = pl.pallas_call(
         kernel,
-        grid=(b * n_tiles,),
+        grid=(b * n_tiles, k_width),
         in_specs=[
-            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile, 3), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, nb_pad.shape[2]), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1),
+                         lambda i, k, rb=row_blocks: (k * rb + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, 3), lambda i: (i // n_tiles, 0),
+            pl.BlockSpec((ns, 3), lambda i, k: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, cin), lambda i: (i // n_tiles, 0),
+            pl.BlockSpec((ns, cin), lambda i, k: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, 3), lambda i: (0, 0),
+            pl.BlockSpec((kp, 3), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, cin, cout), lambda i: (0, 0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i, k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, cout), lambda i, k: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * (nq + pad), cout),
                                        jnp.float32),
         scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32)],
         interpret=interpret,
-    )(q2, nb2, s2, x2, kernel_points, w3d)
+    )(q2, nbt, s2, x2, kernel_points, w3d)
     out = out.reshape(b, nq + pad, cout)
     return out[:, :nq], (q_pad, nb_pad, s_pts, x, kernel_points, weights,
                          nq)
@@ -288,37 +304,41 @@ def _bwd_rule(kp_extent, influence, tile, interpret, res, g):
     w3d = weights.astype(mxu_dtype)
 
     q2 = q_pad.reshape(-1, 3)
-    nb2 = nb_pad.reshape(-1, nb_pad.shape[2])
+    nbt = jnp.transpose(nb_pad, (2, 0, 1)).reshape(-1, 1)
     s2 = s_pts.reshape(b * ns, 3)
     x2 = x.reshape(b * ns, cin)
     g2 = g_pad.reshape(-1, cout)
+    row_blocks = b * n_tiles
 
+    k_width = nb_pad.shape[2]
     kernel = functools.partial(
         _bwd_kernel, kp_extent=kp_extent, influence=influence,
-        n_support=ns, mxu_dtype=mxu_dtype, n_tiles=n_tiles)
+        n_support=ns, mxu_dtype=mxu_dtype, n_tiles=n_tiles,
+        k_width=k_width)
     dx, dw = pl.pallas_call(
         kernel,
-        grid=(b * n_tiles,),
+        grid=(b * n_tiles, k_width),
         in_specs=[
-            pl.BlockSpec((tile, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile, 3), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, nb_pad.shape[2]), lambda i: (i, 0),
+            pl.BlockSpec((tile, 1),
+                         lambda i, k, rb=row_blocks: (k * rb + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, 3), lambda i: (i // n_tiles, 0),
+            pl.BlockSpec((ns, 3), lambda i, k: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, cin), lambda i: (i // n_tiles, 0),
+            pl.BlockSpec((ns, cin), lambda i, k: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, 3), lambda i: (0, 0),
+            pl.BlockSpec((kp, 3), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, cin, cout), lambda i: (0, 0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i, k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cout), lambda i: (i, 0),
+            pl.BlockSpec((tile, cout), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((ns, cin), lambda i: (i // n_tiles, 0),
+            pl.BlockSpec((ns, cin), lambda i, k: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, cin, cout), lambda i: (0, 0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i, k: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -328,7 +348,7 @@ def _bwd_rule(kp_extent, influence, tile, interpret, res, g):
         scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32),
                         pltpu.VMEM((kp, tile, cin), jnp.float32)],
         interpret=interpret,
-    )(q2, nb2, s2, x2, kernel_points, w3d, g2)
+    )(q2, nbt, s2, x2, kernel_points, w3d, g2)
     dx = dx.reshape(b, ns, cin)
 
     dweights = dw
