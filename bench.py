@@ -171,7 +171,7 @@ def bench_torch_cpu_baseline(config, batch, steps=3):
             rng.uniform(-1, 1, size=(n, 3)).astype(np.float32))
         kpts = torch.from_numpy(
             rng.uniform(-0.3, 0.3, size=(kp, 3)).astype(np.float32))
-        w = torch.randn(kp, cin, cout, requires_grad=True) / np.sqrt(cin)
+        w = (torch.randn(kp, cin, cout) / np.sqrt(cin)).requires_grad_()
         tensors.append((pts, neighb, x, kpts, w))
 
     extent = config.KP_extent * config.first_subsampling_dl

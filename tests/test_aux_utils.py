@@ -1,0 +1,113 @@
+"""Tests for convergence plotting, visualizer, debug harnesses, profiling."""
+
+import os
+
+import numpy as np
+import pytest
+
+from weasal_tpu.utils.convergence import (
+    compare_active_learning, compare_convergences_segment, compare_trainings,
+    load_training_iterations, load_val_ious, running_mean)
+from weasal_tpu.utils.profiling import StepTimer
+from weasal_tpu.utils.conf_matrix import analyze, plot, print_to_file
+
+
+def _fake_log(dirpath, n_iters=2, steps=30):
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for it in range(n_iters):
+        with open(os.path.join(dirpath, f"training_iteration{it}.txt"),
+                  "w") as f:
+            f.write("epochs steps out_loss offset_loss train_accuracy "
+                    "time \tweak labels (initial): 10 (10)\n")
+            t = 0.0
+            for s in range(steps):
+                t += 0.1
+                f.write(f"0 {s} {2.0 / (s + 1):.3f} 0.000 "
+                        f"{min(0.1 + 0.02 * s, 0.9):.3f} {t:.3f}\n")
+    with open(os.path.join(dirpath, "val_IoUs.txt"), "w") as f:
+        for e in range(5):
+            f.write(" ".join(f"{0.1 * e + 0.01 * c:.3f}"
+                             for c in range(4)) + " \n")
+
+
+class TestConvergence:
+
+    def test_loaders(self, tmp_path):
+        log = str(tmp_path / "Log_x")
+        _fake_log(log)
+        iters = load_training_iterations(log)
+        assert sorted(iters) == [0, 1]
+        assert iters[0].shape == (30, 6)
+        ious = load_val_ious(log)
+        assert ious.shape == (5, 4)
+
+    def test_plots(self, tmp_path):
+        logs = [str(tmp_path / "Log_a"), str(tmp_path / "Log_b")]
+        for lg in logs:
+            _fake_log(lg)
+        p1 = compare_trainings(logs, out_path=str(tmp_path / "t.png"))
+        p2 = compare_active_learning(logs, out_path=str(tmp_path / "a.png"))
+        p3 = compare_convergences_segment(
+            logs, class_names=["a", "b", "c", "d"],
+            out_path=str(tmp_path / "v.png"))
+        for p in (p1, p2, p3):
+            assert os.path.exists(p)
+
+    def test_running_mean(self):
+        x = np.ones(100)
+        np.testing.assert_allclose(running_mean(x, 5)[10:90], 1.0)
+
+
+class TestConfMatrixReport:
+
+    def test_analyze_and_plot(self, tmp_path):
+        C = np.array([[50, 5, 0], [3, 40, 7], [0, 2, 60]])
+        stats = analyze(C)
+        assert 0.8 < stats["oa"] < 1.0
+        assert stats["iou"].shape == (3,)
+        path = plot(C, {0: "a", 1: "b", 2: "c"}, str(tmp_path),
+                    file_suffix="test")
+        assert os.path.exists(path)
+        print_to_file(C, {0: "a", 1: "b", 2: "c"},
+                      str(tmp_path / "conf.txt"))
+        text = open(tmp_path / "conf.txt").read()
+        assert "OA" in text and "iou" in text
+
+
+class TestVisualizerAndDebug:
+
+    def test_show_batch_and_debug(self, tmp_path):
+        from weasal_tpu.config import Config
+        from weasal_tpu.data.demo import demo_batch
+        from weasal_tpu.utils.visualizer import show_batch
+
+        class C(Config):
+            num_classes = 5
+            in_features_dim = 4
+            in_radius = 4.0
+            first_subsampling_dl = 0.5
+            conv_radius = 2.5
+            architecture = ["simple", "resnetb", "resnetb_strided",
+                            "resnetb", "nearest_upsample"]
+
+        batch, plan = demo_batch(C(), batch_size=1, seed=0, density=5.0)
+        outs = show_batch(batch, out_dir=str(tmp_path / "dbg"))
+        assert len(outs) == 2
+        for o in outs:
+            assert os.path.exists(o)
+            assert os.path.exists(o.replace(".ply", ".png"))
+
+
+class TestStepTimer:
+
+    def test_phases(self):
+        import time
+        timer = StepTimer(["a", "b"])
+        for _ in range(3):
+            with timer.phase("a"):
+                time.sleep(0.001)
+            with timer.phase("b"):
+                time.sleep(0.002)
+        assert timer.ema["b"] > timer.ema["a"] > 0
+        assert "a=" in timer.summary()
