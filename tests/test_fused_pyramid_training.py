@@ -1,0 +1,57 @@
+"""Fused device-pyramid training: the whole step as one jitted program."""
+
+import os
+
+import numpy as np
+import pytest
+
+from weasal_tpu.data.datasets import Vaihingen3DWLDataset
+from weasal_tpu.data.level0 import Level0BatchSource
+from weasal_tpu.data.synthetic import make_vaihingen_like_root
+from weasal_tpu.train.trainer import ModelTrainer
+from tests.test_datasets import SynthWLConfig
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("fused")
+    root = str(wd / "Vaihingen3D")
+    make_vaihingen_like_root(root, extent=30.0, density=5.0, seed=5)
+    cfg = SynthWLConfig()
+    cfg.device_pyramid = True
+    cfg.max_epoch = 1
+    cfg.epoch_steps = 2
+    cfg.validation_size = 1
+    cfg.saving = True
+    cfg.saving_path = str(wd / "log")
+    ds = Vaihingen3DWLDataset(cfg, split="training", data_root=root,
+                              rng=np.random.default_rng(0))
+    return cfg, ds
+
+
+def test_level0_batch_shapes(setup):
+    cfg, ds = setup
+    plan = ds.calibration()
+    src = Level0BatchSource(ds, plan)
+    arrays, metas = src.next_batch(np.random.default_rng(0), plan)
+    assert arrays["points0"].shape == (2, plan.num_points[0], 3)
+    assert arrays["features"].shape[2] == 4
+    assert arrays["rotations"].shape == (2, 3, 3)
+    assert arrays["region_masks"].any()
+    # Rotations are proper vertical-axis rotations
+    R = arrays["rotations"][0]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(R[2], [0, 0, 1], atol=1e-7)
+
+
+def test_fused_training_runs(setup):
+    cfg, ds = setup
+    trainer = ModelTrainer(cfg, ds, stage_dir="WeakLabel")
+    trainer.train(ds, None, al_iteration=0)
+    log = os.path.join(cfg.saving_path, "training_iteration0.txt")
+    rows = open(log).readlines()[1:]
+    assert len(rows) >= 1
+    losses = [float(r.split()[2]) for r in rows]
+    assert all(np.isfinite(losses))
+    assert os.path.exists(os.path.join(cfg.saving_path, "checkpoints",
+                                       "current_chkp.tar"))

@@ -159,13 +159,17 @@ def kpconv(q_pts: jnp.ndarray,
     neighb_x = gather_neighbors(x, neighb_inds, 0.0)        # [B, Nq, K, Cin]
 
     # MXU inputs optionally in bfloat16 with float32 accumulation: the two
-    # contractions carry ~all FLOPs of the network
-    mxu_dtype = (jnp.bfloat16 if params.compute_dtype == "bfloat16"
-                 else jnp.float32)
+    # contractions carry ~all FLOPs of the network. Without the bf16 flag,
+    # inputs keep their dtype (so float64 tests stay float64).
+    use_bf16 = params.compute_dtype == "bfloat16"
+
+    def mxu(a):
+        return a.astype(jnp.bfloat16) if use_bf16 else a
+
+    acc_dtype = jnp.float32 if use_bf16 or x.dtype != jnp.float64         else jnp.float64
     weighted = jnp.einsum("bqpk,bqkc->bqpc",
-                          all_weights.astype(mxu_dtype),
-                          neighb_x.astype(mxu_dtype),
-                          preferred_element_type=jnp.float32)
+                          mxu(all_weights), mxu(neighb_x),
+                          preferred_element_type=acc_dtype)
 
     if params.deformable and params.modulated:
         if modulations is None:
@@ -175,9 +179,9 @@ def kpconv(q_pts: jnp.ndarray,
     # One big GEMM: [B*Nq, Kp*Cin] @ [Kp*Cin, Cout]
     b, nq = weighted.shape[:2]
     cin, cout = weights.shape[1:]
-    out = jnp.dot(weighted.reshape(b * nq, kp * cin).astype(mxu_dtype),
-                  weights.reshape(kp * cin, cout).astype(mxu_dtype),
-                  preferred_element_type=jnp.float32)
+    out = jnp.dot(mxu(weighted.reshape(b * nq, kp * cin)),
+                  mxu(weights.reshape(kp * cin, cout)),
+                  preferred_element_type=acc_dtype)
     return out.reshape(b, nq, cout), min_sq
 
 

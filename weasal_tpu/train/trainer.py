@@ -168,10 +168,26 @@ class ModelTrainer:
         tx = self.tx
         contrast_thd = float(getattr(config, "contrast_thd", 20)) / 100.0
         num_classes = config.num_classes
+        device_pyramid = bool(getattr(config, "device_pyramid", False))
+        plan = self.plan
 
         @partial(jax.jit, static_argnames=("use_contrast",))
         def train_step(state: TrainState, batch, lr, dropout_rng,
                        use_contrast: bool = False):
+            if device_pyramid:
+                # `batch` is a level-0 array dict; build the whole pyramid
+                # on device so the step is one compiled program
+                from weasal_tpu.ops.pyramid import batch_from_device_pyramid
+                batch = batch_from_device_pyramid(
+                    batch["points0"], batch["mask0"], batch["features"],
+                    batch["labels"], config, plan, batch["center_pts"],
+                    rotations=batch["rotations"],
+                    cloud_lb=batch["cloud_lb"],
+                    region_inds=batch["region_inds"],
+                    region_masks=batch["region_masks"],
+                    region_point_masks=batch["region_point_masks"],
+                    region_lb=batch["region_lb"])
+
             def loss_fn(params):
                 variables = {"params": params,
                              "constants": state.constants,
@@ -319,7 +335,12 @@ class ModelTrainer:
         from weasal_tpu.data.loader import (
             BatchPrefetcher, ParallelSphereBuilder)
         threads = max(int(getattr(config, "input_threads", 1) or 1), 1)
-        if threads > 1:
+        if getattr(config, "device_pyramid", False):
+            # Fused path: the host only pads level-0 arrays; the pyramid is
+            # built inside the jitted step
+            from weasal_tpu.data.level0 import Level0BatchSource
+            batch_source = Level0BatchSource(train_dataset, self.plan)
+        elif threads > 1:
             batch_source = ParallelSphereBuilder(
                 train_dataset, max_workers=min(threads, 8))
         else:
@@ -338,8 +359,11 @@ class ModelTrainer:
                 if getattr(self, "mesh", None) is not None:
                     from weasal_tpu.parallel.mesh import shard_batch
                     batch = shard_batch(batch, self.mesh)
+                region_masks = (batch["region_masks"]
+                                if isinstance(batch, dict)
+                                else batch.region_masks)
                 if self.mode == "weak" and not np.any(
-                        np.asarray(batch.region_masks)):
+                        np.asarray(region_masks)):
                     continue  # no sub-region labels -> no loss signal
                 dropout_key, sub = jax.random.split(dropout_key)
                 use_contrast = (self.mode == "pseudo"
