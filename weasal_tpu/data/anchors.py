@@ -17,7 +17,7 @@ so artifacts interoperate across pipeline stages.
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 from sklearn.neighbors import KDTree

@@ -25,7 +25,7 @@ import os
 import pickle
 import time
 from os.path import exists, join
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from sklearn.neighbors import KDTree
@@ -480,12 +480,6 @@ class CloudSegmentationDataset:
             present = np.unique(labels)
             cloud_lb[present[present < cfg.num_classes]] = 1
 
-        if self.split == "test":
-            # Test spheres still need label slots for assemble_batch
-            labels_for_batch = labels
-        else:
-            labels_for_batch = labels
-
         if augment and self.split == "training":
             aug_points, scale, R = self.augmentation_transform(
                 input_points, rng)
@@ -500,7 +494,7 @@ class CloudSegmentationDataset:
         features = self._sphere_features(colors, aug_points, center)
 
         return dict(points=aug_points, features=features,
-                    labels=labels_for_batch, input_inds=input_inds,
+                    labels=labels, input_inds=input_inds,
                     cloud_ind=cloud_ind, center=center[0].astype(np.float32),
                     cloud_lb=cloud_lb, regions=regions, scale=scale, rot=R)
 

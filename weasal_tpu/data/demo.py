@@ -7,7 +7,7 @@ configured radius/voxel size) without file I/O.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -11,12 +11,11 @@ sample -> pyramid -> forward -> backward a single compiled program
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 from weasal_tpu.data.batching import ShapePlan
-from weasal_tpu.kernels.kernel_points import create_3d_rotations
 from weasal_tpu.ops.subsample import SHADOW_COORD
 
 

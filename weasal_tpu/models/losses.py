@@ -10,7 +10,7 @@ single gather + masked mean inside the jitted step.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -38,8 +38,6 @@ scoped-VMEM budget.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

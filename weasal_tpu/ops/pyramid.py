@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from weasal_tpu.data.batch import PyramidBatch
-from weasal_tpu.data.batching import ShapePlan, layer_radii
+from weasal_tpu.data.batching import ShapePlan
 from weasal_tpu.ops.neighbors import radius_search_fixed
 from weasal_tpu.ops.subsample import grid_extent_cells, grid_subsample_fixed
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from os.path import exists, join
+from os.path import join
 from typing import Optional
 
 import jax

@@ -24,14 +24,13 @@ import pickle
 import time
 from functools import partial
 from os.path import exists, join
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
 
 from weasal_tpu.models import losses
 from weasal_tpu.models.architectures import (

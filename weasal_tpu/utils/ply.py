@@ -11,7 +11,6 @@ names, writing binary little-endian by default.
 
 from __future__ import annotations
 
-import sys
 from typing import List, Sequence
 
 import numpy as np
