@@ -31,13 +31,15 @@ class BatchPrefetcher:
                  rng: Optional[np.random.Generator] = None,
                  prefetch: int = 2,
                  augment: Optional[bool] = None,
-                 num_spheres: Optional[int] = None):
+                 num_spheres: Optional[int] = None,
+                 to_device: bool = True):
         self.dataset = dataset
         self.plan = plan
         self.num_batches = num_batches
         self.rng = rng or np.random.default_rng()
         self.augment = augment
         self.num_spheres = num_spheres
+        self.to_device = to_device
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._error = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
@@ -46,10 +48,15 @@ class BatchPrefetcher:
     def _produce(self):
         try:
             for _ in range(self.num_batches):
-                item = self.dataset.next_batch(
+                batch, metas = self.dataset.next_batch(
                     self.rng, self.plan, num_spheres=self.num_spheres,
                     augment=self.augment)
-                self._queue.put(item)
+                if self.to_device:
+                    # Transfer in the producer thread so host->device copies
+                    # overlap the consumer's device steps
+                    import jax
+                    batch = jax.device_put(batch)
+                self._queue.put((batch, metas))
         except BaseException as e:                     # surface in consumer
             self._error = e
         finally:

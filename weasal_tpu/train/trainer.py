@@ -347,6 +347,7 @@ class ModelTrainer:
 
         t0 = time.time()
         last_display = time.time()
+        pending = []
         while self.epoch < config.max_epoch:
             self.step = 0
             prefetcher = BatchPrefetcher(batch_source, self.plan,
@@ -372,19 +373,20 @@ class ModelTrainer:
                     self.state, batch, jnp.float32(self.lr), sub,
                     use_contrast=use_contrast)
 
-                if time.time() - last_display > 1.0:
-                    last_display = time.time()
-                    print(f"e{self.epoch:03d}-i{self.step:04d} => "
-                          f"L={float(out_loss):.3f} "
-                          f"acc={100 * float(acc):3.0f}% "
-                          f"| al_iteration={al_iteration}")
-                if config.saving:
-                    with open(log_file, "a") as f:
-                        f.write(f"{self.epoch:d} {self.step:d} "
-                                f"{float(out_loss):.3f} "
-                                f"{float(reg_loss):.3f} {float(acc):.3f} "
-                                f"{time.time() - t0:.3f}\n")
+                # Buffer device scalars; synchronous per-step reads would
+                # serialize the async dispatch queue (very costly through a
+                # remote-dispatch backend)
+                pending.append((self.epoch, self.step, out_loss, reg_loss,
+                                acc, time.time() - t0))
                 self.step += 1
+                if len(pending) >= 20 or \
+                        time.time() - last_display > 2.0:
+                    last_display = time.time()
+                    self._flush_log(pending, log_file, al_iteration)
+                    pending = []
+
+            self._flush_log(pending, log_file, al_iteration)
+            pending = []
 
             if config.saving and pid_file and not exists(pid_file):
                 break
@@ -432,6 +434,24 @@ class ModelTrainer:
                         gt_count += len(pickle.load(f))
         return ("epochs steps out_loss offset_loss train_accuracy time "
                 f"\tground truth labels: {gt_count}\n")
+
+    def _flush_log(self, pending, log_file, al_iteration):
+        """Materialize buffered device scalars in one transfer and log."""
+        if not pending:
+            return
+        scalars = jax.device_get([(p[2], p[3], p[4]) for p in pending])
+        if self.config.saving and log_file:
+            with open(log_file, "a") as f:
+                for (epoch, step, _, _, _, wall), (ls, rg, ac) in zip(
+                        pending, scalars):
+                    f.write(f"{epoch:d} {step:d} {float(ls):.3f} "
+                            f"{float(rg):.3f} {float(ac):.3f} "
+                            f"{wall:.3f}\n")
+        epoch, step, _, _, _, _ = pending[-1]
+        ls, rg, ac = scalars[-1]
+        print(f"e{epoch:03d}-i{step:04d} => L={float(ls):.3f} "
+              f"acc={100 * float(ac):3.0f}% "
+              f"| al_iteration={al_iteration}")
 
     # ------------------------------------------------------------------
     # Validation (reference cloud_segmentation_validation,
