@@ -105,10 +105,13 @@ class ModelTester:
         last_min = -0.5
         t_last = time.time()
 
+        from weasal_tpu.data.loader import BatchPrefetcher
+
         while True:
-            for i in range(config.validation_size):
-                batch, metas = dataset.next_batch(rng, self.plan,
-                                                  augment=False)
+            prefetcher = BatchPrefetcher(dataset, self.plan,
+                                         config.validation_size, rng=rng,
+                                         augment=False)
+            for i, (batch, metas) in enumerate(prefetcher):
                 probs_all = np.asarray(self._eval_step(self.state, batch))
                 points_all = np.asarray(batch.points[0])
                 for b, meta in enumerate(metas):

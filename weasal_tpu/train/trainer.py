@@ -479,9 +479,11 @@ class ModelTrainer:
                     i += 1
 
         predictions, targets = [], []
-        for _ in range(config.validation_size):
-            batch, metas = val_dataset.next_batch(rng, self.plan,
-                                                  augment=False)
+        from weasal_tpu.data.loader import BatchPrefetcher
+        prefetcher = BatchPrefetcher(val_dataset, self.plan,
+                                     config.validation_size, rng=rng,
+                                     augment=False)
+        for batch, metas in prefetcher:
             probs_all = np.asarray(self._eval_step(self.state, batch))
             labels_all = np.asarray(batch.labels)
             for b, meta in enumerate(metas):
