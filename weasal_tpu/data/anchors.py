@@ -97,7 +97,7 @@ def update_anchors(input_tree: KDTree, clean_anchors: np.ndarray,
         i_idxs = anchors_dict[idx][0][0]
         for nei in neis:
             nei_idxs = anchors_dict[nei][0][0]
-            overlap = np.in1d(i_idxs, nei_idxs)
+            overlap = np.isin(i_idxs, nei_idxs)
             if overlap.sum() < 1:
                 continue
             new_idxs = i_idxs[overlap]

@@ -513,7 +513,7 @@ class CloudSegmentationDataset:
         regions = []
         for aa in a_inds:
             idx_r = adict[aa][0][0]
-            member = idx_r[np.in1d(idx_r, input_inds)]
+            member = idx_r[np.isin(idx_r, input_inds)]
             if member.size == 0:
                 continue
             pos = ii_sorted[np.searchsorted(sorted_inds, member)]

@@ -57,7 +57,8 @@ def synthetic_scene(rng: np.random.Generator,
     # Buildings: flat/gabled roofs + facades
     n_buildings = max(2, int(extent * extent / 450))
     for _ in range(n_buildings):
-        w, d = rng.uniform(6, 14, 2)
+        max_side = min(14.0, extent / 2.5)
+        w, d = rng.uniform(min(6, max_side * 0.6), max_side, 2)
         cx, cy = rng.uniform(w, extent - w), rng.uniform(d, extent - d)
         h = rng.uniform(4, 10)
         ground_z = terrain(np.array([[cx, cy]]))[0]
