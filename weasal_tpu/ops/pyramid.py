@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from weasal_tpu.data.batch import PyramidBatch
-from weasal_tpu.data.batching import ShapePlan
+from weasal_tpu.data.batching import ShapePlan, layer_radii
 from weasal_tpu.ops.neighbors import radius_search_fixed
 from weasal_tpu.ops.subsample import grid_extent_cells, grid_subsample_fixed
 
@@ -35,8 +35,8 @@ def _plan_tuple(plan: ShapePlan):
 
 @partial(jax.jit, static_argnames=("num_points", "conv_neighbors",
                                    "pool_neighbors", "up_neighbors",
-                                   "dl0", "conv_radius", "in_radius",
-                                   "chunk"))
+                                   "dl0", "conv_radii", "pool_radii",
+                                   "up_radii", "in_radius", "chunk"))
 def _build_pyramid(points0: jnp.ndarray,
                    mask0: jnp.ndarray,
                    rotations: Optional[jnp.ndarray],
@@ -45,7 +45,9 @@ def _build_pyramid(points0: jnp.ndarray,
                    pool_neighbors: Tuple[int, ...],
                    up_neighbors: int,
                    dl0: float,
-                   conv_radius: float,
+                   conv_radii: Tuple[float, ...],
+                   pool_radii: Tuple[float, ...],
+                   up_radii: Tuple[float, ...],
                    in_radius: float,
                    chunk: int = 512):
     L = len(num_points)
@@ -71,19 +73,21 @@ def _build_pyramid(points0: jnp.ndarray,
 
     neighbors, pools, upsamples = [], [], []
     for l in range(L):
-        r = dl0 * (2 ** l) * conv_radius
+        r = conv_radii[l]
         neighbors.append(jax.vmap(
             lambda q, s, qm, sm: radius_search_fixed(
                 q, s, qm, sm, r, conv_neighbors[l], chunk))(
             points[l], points[l], masks[l], masks[l]))
         if l < L - 1:
+            pr = pool_radii[l]
+            ur = up_radii[l]
             pools.append(jax.vmap(
                 lambda q, s, qm, sm: radius_search_fixed(
-                    q, s, qm, sm, r, pool_neighbors[l], chunk))(
+                    q, s, qm, sm, pr, pool_neighbors[l], chunk))(
                 points[l + 1], points[l], masks[l + 1], masks[l]))
             upsamples.append(jax.vmap(
                 lambda q, s, qm, sm: radius_search_fixed(
-                    q, s, qm, sm, 2 * r, up_neighbors, chunk))(
+                    q, s, qm, sm, ur, up_neighbors, chunk))(
                 points[l], points[l + 1], masks[l], masks[l + 1]))
     return tuple(points), tuple(masks), tuple(neighbors), tuple(pools), \
         tuple(upsamples)
@@ -104,9 +108,14 @@ def build_pyramid_device(points0: jnp.ndarray,
     :return: (points, masks, neighbors, pools, upsamples) tuples per level
     """
     np_, cn, pn, un = _plan_tuple(plan)
+    # Same per-level radius schedule as the host builder (incl. the wider
+    # deform-layer radii, datasets/common.py:487-534)
+    conv_r, pool_r, up_r = layer_radii(config)
     return _build_pyramid(points0, mask0, rotations, np_, cn, pn, un,
                           float(config.first_subsampling_dl),
-                          float(config.conv_radius),
+                          tuple(float(r) for r in conv_r),
+                          tuple(float(r) for r in pool_r),
+                          tuple(float(r) for r in up_r),
                           float(config.in_radius), chunk)
 
 
