@@ -61,6 +61,9 @@ def main(argv=None):
     parser.add_argument("--num_votes", type=int, default=None)
     parser.add_argument("--chkp", default=None,
                         help="checkpoint file (default current_chkp.tar)")
+    parser.add_argument("--fused", action="store_true",
+                        help="run the voting inference through the fused "
+                             "device-pyramid eval step")
     args = parser.parse_args(argv)
 
     chosen_log = model_choice(args.log)
@@ -73,6 +76,8 @@ def main(argv=None):
     config.validation_size = 200
     config.input_threads = 10
     config.dropout = 0
+    if args.fused:
+        config.device_pyramid = True
 
     split = args.on
     test_on_train = split == "train"

@@ -249,3 +249,27 @@ class TestPLDataset:
                        ).read_ply(os.path.join(
                            tree_path, "Vaihingen3D_Training.ply"))["class"])
         np.testing.assert_array_equal(ds.input_labels[0][:50], true[:50])
+
+
+class TestERFSplit:
+    """'ERF' split: deterministic single-sphere sampling over the
+    validation files (reference datasets/*_WeakLabel.py:293-298,386,398)."""
+
+    def test_erf_deterministic_and_unlabeled(self, synth_root):
+        cfg = SynthWLConfig()
+        ds = Vaihingen3DWLDataset(cfg, split="ERF", data_root=synth_root,
+                                  rng=np.random.default_rng(3))
+        val = Vaihingen3DWLDataset(cfg, split="validation",
+                                   data_root=synth_root,
+                                   rng=np.random.default_rng(3))
+        assert ds.cloud_names_split == val.cloud_names_split
+
+        pots_before = [p.copy() for p in ds.potentials]
+        p1 = ds.sample_sphere(np.random.default_rng(0), augment=False)
+        p2 = ds.sample_sphere(np.random.default_rng(99), augment=False)
+        # No potential updates and no center noise -> identical spheres
+        for before, after in zip(pots_before, ds.potentials):
+            np.testing.assert_array_equal(before, after)
+        np.testing.assert_array_equal(p1["center"], p2["center"])
+        np.testing.assert_array_equal(p1["input_inds"], p2["input_inds"])
+        assert p1["labels"] is None and p1["cloud_lb"] is None

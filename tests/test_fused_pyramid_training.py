@@ -55,3 +55,35 @@ def test_fused_training_runs(setup):
     assert all(np.isfinite(losses))
     assert os.path.exists(os.path.join(cfg.saving_path, "checkpoints",
                                        "current_chkp.tar"))
+
+
+def test_fused_eval_paths(setup, tmp_path):
+    """Validation and the voting tester run through the fused
+    (device-pyramid) eval step when config.device_pyramid is on."""
+    cfg, ds = setup
+    from weasal_tpu.data.datasets import Vaihingen3DWLDataset
+    from weasal_tpu.train.tester import ModelTester
+
+    val_ds = Vaihingen3DWLDataset(cfg, split="validation",
+                                  data_root=ds.path,
+                                  rng=np.random.default_rng(1))
+    trainer = ModelTrainer(cfg, ds, stage_dir="WeakLabel")
+    miou = trainer.cloud_segmentation_validation(val_ds)
+    assert np.isfinite(miou)
+
+    chkp = os.path.join(cfg.saving_path, "checkpoints", "current_chkp.tar")
+    if not os.path.exists(chkp):
+        trainer.save_checkpoint(os.path.dirname(chkp))
+    test_ds = Vaihingen3DWLDataset(cfg, split="test", test_on_train=True,
+                                   data_root=ds.path,
+                                   rng=np.random.default_rng(2))
+    saved_saving = cfg.saving
+    cfg.saving = False
+    try:
+        tester = ModelTester(cfg, test_ds, chkp)
+        probs = tester.cloud_segmentation_test(test_ds, num_votes=0,
+                                               test_on_train=True)
+    finally:
+        cfg.saving = saved_saving
+    assert all(np.isfinite(p).all() for p in probs)
+    assert any(p.any() for p in probs)

@@ -107,9 +107,15 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
     parser.add_argument("--preset", default=None, choices=["quick"],
                         help="'quick': scaled-down smoke-run config "
                              "(small spheres, few steps) for CI/dev")
+    parser.add_argument("--fused", action="store_true",
+                        help="build the multi-scale pyramid on device "
+                             "inside the jitted step (fastest path; the "
+                             "host ships only level-0 arrays)")
     args = parser.parse_args(argv)
 
     config = config_cls()
+    if args.fused:
+        config.device_pyramid = True
     if args.preset == "quick":
         config.in_radius = min(config.in_radius, 7.0)
         config.sub_radius = min(getattr(config, "sub_radius", 5), 2.5)

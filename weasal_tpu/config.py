@@ -49,6 +49,11 @@ class Config:
     in_features_dim = 1
     in_radius = 1.0
     input_threads = 8
+    # Fused input path: build the multi-scale pyramid on device inside the
+    # jitted train/eval step (weasal_tpu/ops/pyramid.py); the host ships
+    # only padded level-0 arrays. Off by default for drop-in parity with
+    # the reference's host-built pipeline.
+    device_pyramid = False
 
     # ------------------------------------------------------------------
     # Model parameters

@@ -42,7 +42,10 @@ class CloudSegmentationDataset:
     """Base class: in-memory subsampled clouds + potential sphere sampler.
 
     Subclasses define the label nomenclature, file lists and feature
-    assembly. `split` is one of 'training' | 'validation' | 'test'.
+    assembly. `split` is one of 'training' | 'validation' | 'test' | 'ERF'
+    ('ERF' = deterministic single-sphere sampling over the validation files
+    for effective-receptive-field visualization: no center noise, no
+    potential updates, no labels — reference datasets/*_WeakLabel.py:293,386).
     """
 
     # ---- subclass attributes -------------------------------------------
@@ -120,7 +123,7 @@ class CloudSegmentationDataset:
     def _split_dir(self) -> str:
         if self.split == "test":
             return join(self.path, self.test_dir)
-        if self.split == "validation":
+        if self.split in ("validation", "ERF"):
             return join(self.path, self.validation_dir)
         return join(self.path, self.train_dir)
 
@@ -131,7 +134,7 @@ class CloudSegmentationDataset:
                    else self.all_splits[i] == test_split)
         if self.split == "test":
             return in_test
-        if self.split == "validation":
+        if self.split in ("validation", "ERF"):
             return self.all_splits[i] == self.validation_split
         return self.all_splits[i] != self.validation_split and not in_test
 
@@ -239,7 +242,7 @@ class CloudSegmentationDataset:
                 self.pot_trees.append(pot_tree)
 
         # Reprojection indices for full-cloud evaluation
-        if self.split in ("validation", "test"):
+        if self.split in ("validation", "test", "ERF"):
             for i, file_path in enumerate(self.files):
                 cloud_name = self.cloud_names_split[i]
                 proj_file = join(self.tree_path, f"{cloud_name}_proj.pkl")
@@ -349,6 +352,10 @@ class CloudSegmentationDataset:
         point_ind = self.argmin_potentials[cloud_ind]
         pot_points = np.asarray(self.pot_trees[cloud_ind].data, dtype=float)
         center = pot_points[point_ind].reshape(1, -1).copy()
+        # ERF visualization wants a deterministic region: no center noise
+        # and no potential update (reference Vaihingen3D_WeakLabel.py:386,398)
+        if self.split == "ERF":
+            return cloud_ind, point_ind, center
         center += rng.normal(scale=self.config.in_radius / 10,
                              size=center.shape)
 
@@ -469,7 +476,8 @@ class CloudSegmentationDataset:
         colors = (self.input_colors[cloud_ind][input_inds]
                   if self.input_colors[cloud_ind] is not None else None)
 
-        if self.split in ("test",) and not self.test_on_train:
+        if (self.split in ("test",) and not self.test_on_train) \
+                or self.split == "ERF":
             labels = None
             cloud_lb = None
         else:

@@ -56,10 +56,23 @@ class ModelTester:
         self.epoch = payload["epoch"]
         print("Model and training state restored.")
 
-        model, mmode = self.model, self.mode
+        model, mmode, plan = self.model, self.mode, self.plan
 
         @jax.jit
         def eval_step(state, batch):
+            if isinstance(batch, dict):
+                # Fused path: level-0 arrays in, pyramid built in-jit (same
+                # program shape as the fused train step)
+                from weasal_tpu.ops.pyramid import batch_from_device_pyramid
+                batch = batch_from_device_pyramid(
+                    batch["points0"], batch["mask0"], batch["features"],
+                    batch["labels"], config, plan, batch["center_pts"],
+                    rotations=batch["rotations"],
+                    cloud_lb=batch["cloud_lb"],
+                    region_inds=batch["region_inds"],
+                    region_masks=batch["region_masks"],
+                    region_point_masks=batch["region_point_masks"],
+                    region_lb=batch["region_lb"])
             variables = {"params": state.params,
                          "constants": state.constants,
                          "batch_stats": state.batch_stats}
@@ -106,14 +119,21 @@ class ModelTester:
         t_last = time.time()
 
         from weasal_tpu.data.loader import BatchPrefetcher
+        if getattr(config, "device_pyramid", False):
+            from weasal_tpu.data.level0 import Level0BatchSource
+            batch_source = Level0BatchSource(dataset, self.plan)
+        else:
+            batch_source = dataset
 
         while True:
-            prefetcher = BatchPrefetcher(dataset, self.plan,
+            prefetcher = BatchPrefetcher(batch_source, self.plan,
                                          config.validation_size, rng=rng,
                                          augment=False)
             for i, (batch, metas) in enumerate(prefetcher):
                 probs_all = np.asarray(self._eval_step(self.state, batch))
-                points_all = np.asarray(batch.points[0])
+                points_all = np.asarray(batch["points0"]
+                                        if isinstance(batch, dict)
+                                        else batch.points[0])
                 for b, meta in enumerate(metas):
                     n = meta["n_real"]
                     probs = probs_all[b, :n]

@@ -254,10 +254,23 @@ class ModelTrainer:
         return train_step
 
     def _build_eval_step(self):
-        model, mode = self.model, self.mode
+        model, mode, config = self.model, self.mode, self.config
+        plan = self.plan
 
         @jax.jit
         def eval_step(state: TrainState, batch):
+            if isinstance(batch, dict):
+                # Fused path: level-0 arrays in, pyramid built in-jit
+                from weasal_tpu.ops.pyramid import batch_from_device_pyramid
+                batch = batch_from_device_pyramid(
+                    batch["points0"], batch["mask0"], batch["features"],
+                    batch["labels"], config, plan, batch["center_pts"],
+                    rotations=batch["rotations"],
+                    cloud_lb=batch["cloud_lb"],
+                    region_inds=batch["region_inds"],
+                    region_masks=batch["region_masks"],
+                    region_point_masks=batch["region_point_masks"],
+                    region_lb=batch["region_lb"])
             out = model.apply(self._variables(state), batch, train=False)
             logits = out[0] if mode == "weak" else out
             return jax.nn.softmax(logits, axis=-1)
@@ -480,12 +493,19 @@ class ModelTrainer:
 
         predictions, targets = [], []
         from weasal_tpu.data.loader import BatchPrefetcher
-        prefetcher = BatchPrefetcher(val_dataset, self.plan,
+        if getattr(config, "device_pyramid", False):
+            from weasal_tpu.data.level0 import Level0BatchSource
+            val_source = Level0BatchSource(val_dataset, self.plan)
+        else:
+            val_source = val_dataset
+        prefetcher = BatchPrefetcher(val_source, self.plan,
                                      config.validation_size, rng=rng,
                                      augment=False)
         for batch, metas in prefetcher:
             probs_all = np.asarray(self._eval_step(self.state, batch))
-            labels_all = np.asarray(batch.labels)
+            labels_all = np.asarray(batch["labels"]
+                                    if isinstance(batch, dict)
+                                    else batch.labels)
             for b, meta in enumerate(metas):
                 n = meta["n_real"]
                 probs = probs_all[b, :n]
