@@ -192,3 +192,37 @@ class TestRadiusSearch:
         exp = brute_force_neighbors(q, s, 0.7, 8)
         exp[exp == 50] = 50
         np.testing.assert_array_equal(got, exp)
+
+
+class TestCoordinateMatmulPrecision:
+    """The TPU platform demotes default-precision f32 matmuls to bf16
+    granularity; at meter-scale coordinates the d^2 error then exceeds the
+    search radius (measured: up to ~4 m^2 at in_radius 18, corrupting 63% of
+    neighbor rows on hardware). The geometric matmuls must therefore carry
+    an explicit HIGHEST precision, which this test pins in the jaxpr (CPU
+    executes all precisions identically, so only the attribute is
+    observable here)."""
+
+    def test_radius_search_dot_is_highest_precision(self):
+        import jax
+        q = jnp.zeros((8, 3), jnp.float32)
+        m = jnp.ones(8, bool)
+        jaxpr = jax.make_jaxpr(
+            lambda a, b, qm, sm: radius_search_fixed(a, b, qm, sm, 1.0, 4,
+                                                     chunk=8))(q, q, m, m)
+        txt = str(jaxpr)
+        assert "HIGHEST" in txt, "coordinate dot lost its precision pin"
+
+    def test_pyramid_rotation_einsum_is_highest_precision(self):
+        import jax
+        from weasal_tpu.ops.pyramid import _build_pyramid
+        pts = jnp.zeros((1, 16, 3), jnp.float32)
+        msk = jnp.ones((1, 16), bool)
+        rot = jnp.eye(3)[None]
+        jaxpr = jax.make_jaxpr(
+            lambda p, m, r: _build_pyramid(
+                p, m, r, (16, 8), (4, 4), (4,), 4, 0.5,
+                (1.0, 2.0), (1.5,), (2.0,), 5.0, chunk=8))(pts, msk, rot)
+        txt = str(jaxpr)
+        assert txt.count("HIGHEST") >= 2, \
+            "rotation einsums lost their precision pin"

@@ -156,9 +156,14 @@ def radius_search_fixed(queries: jnp.ndarray,
 
     def one_tile(q_tile):
         q_norm2 = jnp.sum(q_tile * q_tile, axis=1)          # [chunk]
-        # [chunk, Ns] squared distances via MXU matmul
+        # [chunk, Ns] squared distances via MXU matmul. precision=HIGHEST is
+        # REQUIRED: this platform demotes default-precision f32 matmuls to
+        # bf16 granularity, and at meter-scale coordinates (|q.s| ~ r_in^2)
+        # the resulting d2 error (measured up to ~4 m^2 at r_in=18) exceeds
+        # the search radius itself, silently corrupting every neighborhood.
         d2 = (q_norm2[:, None] + s_norm2[None, :]
-              - 2.0 * q_tile @ supports.T)
+              - 2.0 * jnp.matmul(q_tile, supports.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         d2 = jnp.where(s_invalid[None, :], inf, d2)
         d2 = jnp.where(d2 > r2, inf, d2)
         neg, idx = jax.lax.top_k(-d2, max_count)            # ascending d2

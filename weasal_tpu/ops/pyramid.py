@@ -60,14 +60,19 @@ def _build_pyramid(points0: jnp.ndarray,
         n_cells = grid_extent_cells(in_radius, dl)
         pts, msk = points[l], masks[l]
         if rotations is not None:
-            pts_r = jnp.einsum("bnd,bde->bne", pts, rotations)
+            # HIGHEST precision: default matmuls run at bf16 granularity on
+            # this platform, which would jitter meter-scale coordinates by
+            # ~2^-9 * extent (cm) through the rotate/unrotate round trip.
+            pts_r = jnp.einsum("bnd,bde->bne", pts, rotations,
+                               precision=jax.lax.Precision.HIGHEST)
         else:
             pts_r = pts
         sub, sub_mask = jax.vmap(
             lambda p, m: grid_subsample_fixed(
                 p, m, dl, num_points[l + 1], n_cells))(pts_r, msk)
         if rotations is not None:
-            sub = jnp.einsum("bnd,bed->bne", sub, rotations)
+            sub = jnp.einsum("bnd,bed->bne", sub, rotations,
+                             precision=jax.lax.Precision.HIGHEST)
         points.append(sub)
         masks.append(sub_mask)
 
