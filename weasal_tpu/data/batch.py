@@ -47,6 +47,10 @@ class PyramidBatch:
     lengths: Tuple[jnp.ndarray, ...]     # [B] int32 real counts per level
     center_pts: jnp.ndarray              # [B, 3] float32 sphere centers
 
+    # Classification payload (reference classification_inputs,
+    # datasets/common.py:348-458: one label per cloud, no upsamples)
+    cloud_label: Optional[jnp.ndarray] = None    # [B] int32
+
     # Weak-label payload (zeros/empty when unused)
     cloud_lb: Optional[jnp.ndarray] = None       # [B, C] float32 multi-hot
     region_inds: Optional[jnp.ndarray] = None    # [B, R, P] int32 into N_0

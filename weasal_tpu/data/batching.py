@@ -88,7 +88,8 @@ def build_sphere_pyramid(points: np.ndarray,
                          rng: Optional[np.random.Generator] = None,
                          max_neighbors: Optional[Sequence[int]] = None,
                          max_pool_neighbors: Optional[Sequence[int]] = None,
-                         random_grid_orient: bool = True) -> Dict:
+                         random_grid_orient: bool = True,
+                         with_upsamples: bool = True) -> Dict:
     """Host pyramid of one sphere: per-level points + neighbor index lists.
 
     Returns dict with keys 'points' (list of [n_l, 3]), 'neighbors'
@@ -127,9 +128,10 @@ def build_sphere_pyramid(points: np.ndarray,
                         if max_pool_neighbors is not None else cap)
             pools.append(radius_search(level_points[l + 1], level_points[l],
                                        pool_r[l], max_count=pool_cap))
-            up = radius_search(level_points[l], level_points[l + 1],
-                               up_r[l], max_count=1)
-            upsamples.append(up)
+            if with_upsamples:
+                up = radius_search(level_points[l], level_points[l + 1],
+                                   up_r[l], max_count=1)
+                upsamples.append(up)
     return {"points": level_points, "neighbors": neighbors,
             "pools": pools, "upsamples": upsamples}
 
@@ -179,6 +181,60 @@ def calibrate_shape_plan(sphere_point_clouds: Sequence[np.ndarray],
                      pool_neighbors=pool_neighbors,
                      max_regions=region_budget[0],
                      max_region_points=region_budget[1])
+
+
+def assemble_classification_batch(clouds: Sequence[Dict],
+                                  plan: ShapePlan) -> PyramidBatch:
+    """Dense classification batch: the ShapePlan port of the reference's
+    `classification_inputs` (datasets/common.py:348-458) — a pyramid with
+    conv + pool indices but no upsamples, one label per cloud.
+
+    Each element of `clouds`: {'pyramid': build_sphere_pyramid(...,
+    with_upsamples=False), 'features': [n0, F], 'label': int,
+    'center': [3] optional}.
+    """
+    B = len(clouds)
+    L = plan.num_layers
+    F = clouds[0]["features"].shape[1]
+
+    points = [np.zeros((B, plan.num_points[l], 3), np.float32)
+              for l in range(L)]
+    masks = [np.zeros((B, plan.num_points[l]), bool) for l in range(L)]
+    neighbors = [np.zeros((B, plan.num_points[l], plan.conv_neighbors[l]),
+                          np.int32) for l in range(L)]
+    pools = [np.zeros((B, plan.num_points[l + 1], plan.pool_neighbors[l]),
+                      np.int32) for l in range(L - 1)]
+    features = np.zeros((B, plan.num_points[0], F), np.float32)
+    lengths = [np.zeros((B,), np.int32) for _ in range(L)]
+    centers = np.zeros((B, 3), np.float32)
+    cloud_label = np.full((B,), -1, np.int32)
+
+    for b, s in enumerate(clouds):
+        pyr = s["pyramid"]
+        for l in range(L):
+            pts = pyr["points"][l]
+            points[l][b], masks[l][b] = _pad_points(pts, plan.num_points[l])
+            lengths[l][b] = min(pts.shape[0], plan.num_points[l])
+            neighbors[l][b] = _pad_neighbors(
+                pyr["neighbors"][l], plan.num_points[l],
+                plan.conv_neighbors[l], pts.shape[0], plan.num_points[l])
+        for l in range(L - 1):
+            pts = pyr["points"][l]
+            pools[l][b] = _pad_neighbors(
+                pyr["pools"][l], plan.num_points[l + 1],
+                plan.pool_neighbors[l], pts.shape[0], plan.num_points[l])
+        k0 = min(pyr["points"][0].shape[0], plan.num_points[0])
+        features[b, :k0] = s["features"][:k0]
+        centers[b] = s.get("center", np.zeros(3))
+        cloud_label[b] = int(s["label"])
+
+    n0 = plan.num_points[0]
+    return PyramidBatch(
+        points=tuple(points), masks=tuple(masks),
+        neighbors=tuple(neighbors), pools=tuple(pools), upsamples=(),
+        features=features, labels=np.full((B, n0), -1, np.int32),
+        lengths=tuple(lengths), center_pts=centers,
+        cloud_label=cloud_label)
 
 
 def _pad_points(pts: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:

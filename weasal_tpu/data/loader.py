@@ -32,7 +32,8 @@ class BatchPrefetcher:
                  prefetch: int = 2,
                  augment: Optional[bool] = None,
                  num_spheres: Optional[int] = None,
-                 to_device: bool = True):
+                 to_device: bool = True,
+                 sharding=None):
         self.dataset = dataset
         self.plan = plan
         self.num_batches = num_batches
@@ -40,6 +41,7 @@ class BatchPrefetcher:
         self.augment = augment
         self.num_spheres = num_spheres
         self.to_device = to_device
+        self.sharding = sharding
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._error = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
@@ -53,9 +55,13 @@ class BatchPrefetcher:
                     augment=self.augment)
                 if self.to_device:
                     # Transfer in the producer thread so host->device copies
-                    # overlap the consumer's device steps
+                    # overlap the consumer's device steps; with a sharding,
+                    # the sphere axis lands directly on the mesh
                     import jax
-                    batch = jax.device_put(batch)
+                    if self.sharding is not None:
+                        batch = jax.device_put(batch, self.sharding)
+                    else:
+                        batch = jax.device_put(batch)
                 self._queue.put((batch, metas))
         except BaseException as e:                     # surface in consumer
             self._error = e

@@ -191,3 +191,27 @@ def make_dales_like_root(root: str,
                          lbl.astype(np.int32)],
                   ["x", "y", "z", "scalar_Classification"])
     return root
+
+
+def synthetic_shape_cloud(rng: np.random.Generator, shape_id: int,
+                          n: int = 256, noise: float = 0.02
+                          ) -> np.ndarray:
+    """One cloud for the classification task (KPCNN path): 0 = spherical
+    shell, 1 = flat disk, 2 = vertical cylinder surface. Unit-ish scale."""
+    if shape_id == 0:
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = v * 1.2
+    elif shape_id == 1:
+        r = np.sqrt(rng.random(n)) * 1.4
+        a = rng.random(n) * 2 * np.pi
+        pts = np.stack([r * np.cos(a), r * np.sin(a),
+                        np.zeros(n)], axis=1)
+    elif shape_id == 2:
+        a = rng.random(n) * 2 * np.pi
+        z = (rng.random(n) - 0.5) * 2.4
+        pts = np.stack([np.cos(a), np.sin(a), z], axis=1)
+    else:
+        raise ValueError(shape_id)
+    pts = pts + rng.normal(scale=noise, size=(n, 3))
+    return pts.astype(np.float32)

@@ -61,6 +61,15 @@ class MaskedBatchNorm(nn.Module):
     Falls back to a learned bias when use_bn is False, like the reference's
     BatchNormBlock (models/blocks.py:430-465). `momentum` follows the torch
     convention: running = (1 - momentum) * running + momentum * batch.
+
+    Reference discrepancy (deliberate): the reference's
+    BatchNormBlock.forward is a **no-op for 2-D inputs**
+    (models/blocks.py:453-456 `if len(x.shape) < 3: x = x`) and its stacked
+    layout is always 2-D, so the shipped reference never actually
+    normalizes — its BN weights/stats remain at init (1/0/0/1). This module
+    normalizes for real; fed those init-valued running stats at eval time it
+    reduces to the identity up to eps, so reference-checkpoint interop still
+    matches (tests/test_reference_parity.py).
     """
     use_bn: bool
     momentum: float = 0.02

@@ -136,8 +136,9 @@ def p2p_fitting_regularizer(deform_aux: dict,
             dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
             off_diag = 1.0 - jnp.eye(k)
             rep = jnp.clip(dist - repulse_extent, max=0.0) ** 2 * off_diag
-            repulsive = repulsive + jnp.mean(jnp.sum(rep, axis=-1)) * (
-                (k) / k)
+            # sum_i mean(rep_i) / K == mean over (batch, point, i) of the
+            # per-kernel-point repulsion sums (architectures.py:51-55)
+            repulsive = repulsive + jnp.mean(jnp.sum(rep, axis=-1))
     return deform_fitting_power * (2 * fitting + repulsive)
 
 
@@ -214,12 +215,17 @@ def contrast_loss(logits: jnp.ndarray,
 
 
 def accuracy(logits: jnp.ndarray,
-             targets: jnp.ndarray) -> jnp.ndarray:
-    """Fraction of points whose argmax matches target; ignored (-1) targets
-    count as wrong, like the reference (architectures.py:786-807) — but
-    padded points (target == -1 from padding) are excluded via target >= -1
-    semantics at the call site."""
+             targets: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Fraction of real points whose argmax matches target.
+
+    Reference semantics (architectures.py:786-807): ignored labels map to
+    target -1 and count as *wrong* (argmax never equals -1), while the
+    denominator is every point the reference sees. Padded rows (absent in
+    the reference) are excluded via `mask`; without a mask, every row
+    counts toward the denominator."""
     preds = jnp.argmax(logits, axis=-1)
-    valid = targets >= 0
-    correct = (preds == targets) & valid
-    return jnp.sum(correct) / jnp.maximum(jnp.sum(valid), 1)
+    if mask is None:
+        mask = jnp.ones(targets.shape, bool)
+    correct = (preds == targets) & mask
+    return jnp.sum(correct) / jnp.maximum(jnp.sum(mask), 1)

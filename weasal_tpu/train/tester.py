@@ -47,8 +47,8 @@ class ModelTester:
                                        dataset.ignored_labels)
         self.plan = dataset.calibration()
 
-        with open(chkp_path, "rb") as f:
-            payload = pickle.load(f)
+        from weasal_tpu.train.trainer import load_checkpoint_file
+        payload = load_checkpoint_file(chkp_path)
         ms = payload["model_state_dict"]
         self.state = TrainState(params=ms["params"],
                                 batch_stats=ms["batch_stats"],
@@ -93,6 +93,14 @@ class ModelTester:
         test_radius_ratio = 0.7
         nc_model = config.num_classes
         rng = np.random.default_rng(11)
+
+        if dataset.split == "ERF":
+            # ERF sampling never updates potentials (deterministic region,
+            # datasets.py _sample_center), so the min-potential voting loop
+            # below would spin forever.
+            raise ValueError("cloud_segmentation_test cannot vote on the "
+                             "'ERF' split: its potentials never advance. "
+                             "Use the visualization utilities instead.")
 
         self.test_probs = [np.zeros((l.shape[0], nc_model))
                            for l in dataset.input_labels]

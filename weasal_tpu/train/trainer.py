@@ -47,6 +47,30 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def load_checkpoint_file(path: str) -> Dict:
+    """Read a checkpoint payload from any supported format.
+
+    - this framework's `.tar` (a real tar archive with a pickled member),
+    - a bare pickle (round-1 files),
+    - a reference torch `.tar` (utils/trainer_WeakLabel.py:274-288),
+      converted parameter-by-parameter via weasal_tpu.utils.torch_interop.
+    """
+    import tarfile
+    if tarfile.is_tarfile(path):
+        with tarfile.open(path) as tar:
+            member = tar.getmembers()[0]
+            payload = pickle.loads(tar.extractfile(member).read())
+        return payload
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"PK" or head == b"\x80\x02":
+        # torch.save zip container / torch-1.4 legacy pickle
+        from weasal_tpu.utils.torch_interop import load_torch_checkpoint
+        return load_torch_checkpoint(path)
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def _offset_mask(params) -> Any:
     """Pytree mask marking deformable-offset parameters ('offset' in path),
     which train at lr * deform_lr_factor (reference
@@ -104,6 +128,17 @@ class ModelTrainer:
         :param stage_dir: results subdirectory (WeakLabel | PseudoLabel)
         """
         self.config = config
+        # Resolve data-parallel device count early: batch_num must be
+        # divisible by the mesh size before the example batch / shape plan
+        ndev = int(getattr(config, "data_parallel_devices", 0) or 0)
+        if ndev == -1:
+            ndev = len(jax.devices())
+            config.data_parallel_devices = ndev
+        if ndev > 1 and config.batch_num % ndev:
+            new_bn = ((config.batch_num + ndev - 1) // ndev) * ndev
+            print(f"batch_num {config.batch_num} -> {new_bn} "
+                  f"(divisible by {ndev} data-parallel devices)")
+            config.batch_num = new_bn
         self.mode = mode or ("weak" if getattr(
             config, "model_name", "KPFCNN_mprm") == "KPFCNN_mprm"
             else "pseudo")
@@ -137,6 +172,21 @@ class ModelTrainer:
 
         if chkp_path is not None:
             self.load_checkpoint(chkp_path, finetune=finetune)
+
+        # Data parallelism (new capability vs the single-GPU reference,
+        # SURVEY §2.3): shard the sphere axis over a 1-D mesh, replicate
+        # state; XLA SPMD inserts the gradient psum over ICI.
+        ndev = int(getattr(config, "data_parallel_devices", 0) or 0)
+        if ndev == -1:
+            ndev = len(jax.devices())
+        if ndev > 1:
+            from weasal_tpu.parallel.mesh import make_mesh, shard_trainer
+            shard_trainer(self, make_mesh(ndev))
+            print(f"Data-parallel over {ndev} devices "
+                  f"({config.batch_num} spheres/step, "
+                  f"{config.batch_num // ndev} per device)")
+        else:
+            self.mesh = None
 
         if config.saving:
             if config.saving_path is None:
@@ -235,7 +285,7 @@ class ModelTrainer:
                 raw = batch.labels
                 targets = jnp.where(
                     raw >= 0, label_table[jnp.clip(raw, 0, None)], -1)
-                acc = losses.accuracy(logits, targets)
+                acc = losses.accuracy(logits, targets, batch.masks[0])
                 total = out_loss + reg_loss
                 new_bs = mutated.get("batch_stats", state.batch_stats)
                 return total, (new_bs, out_loss, reg_loss, acc)
@@ -292,20 +342,34 @@ class ModelTrainer:
             "optimizer_state_dict": jax.device_get(self.state.opt_state),
             "saving_path": self.config.saving_path,
         }
-        with open(join(directory, name), "wb") as f:
-            pickle.dump(payload, f)
+        # Honest ".tar": a real tar archive with one pickled member, written
+        # atomically (tmp + rename) so a crash mid-dump never corrupts
+        # current_chkp.tar
+        import io
+        import tarfile
+        target = join(directory, name)
+        tmp = target + ".tmp"
+        blob = pickle.dumps(payload)
+        with tarfile.open(tmp, "w") as tar:
+            info = tarfile.TarInfo("state.pkl")
+            info.size = len(blob)
+            tar.addfile(info, io.BytesIO(blob))
+        os.replace(tmp, target)
 
     def load_checkpoint(self, path: str, finetune: bool = False):
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+        payload = load_checkpoint_file(path)
         model_state = payload["model_state_dict"]
         self.state = self.state.replace(
             params=model_state["params"],
             batch_stats=model_state["batch_stats"],
             constants=model_state["constants"])
         if not finetune:
-            self.state = self.state.replace(
-                opt_state=payload["optimizer_state_dict"])
+            opt_state = payload.get("optimizer_state_dict")
+            if opt_state is not None:
+                self.state = self.state.replace(opt_state=opt_state)
+            else:
+                print("Checkpoint has no optimizer state (reference torch "
+                      "file): momentum restarts from zero.")
             self.epoch = payload["epoch"]
         print("Model restored" + (" for finetuning." if finetune
                                   else " with training state."))
@@ -358,20 +422,23 @@ class ModelTrainer:
         else:
             batch_source = train_dataset
 
+        sharding = None
+        if self.mesh is not None:
+            from weasal_tpu.parallel.mesh import batch_sharding
+            sharding = batch_sharding(self.mesh)
+
         t0 = time.time()
         last_display = time.time()
         pending = []
         while self.epoch < config.max_epoch:
             self.step = 0
             prefetcher = BatchPrefetcher(batch_source, self.plan,
-                                         config.epoch_steps, rng=rng)
+                                         config.epoch_steps, rng=rng,
+                                         sharding=sharding)
             for batch, _ in prefetcher:
                 if config.saving and pid_file and not exists(pid_file):
                     prefetcher.close()
                     break
-                if getattr(self, "mesh", None) is not None:
-                    from weasal_tpu.parallel.mesh import shard_batch
-                    batch = shard_batch(batch, self.mesh)
                 region_masks = (batch["region_masks"]
                                 if isinstance(batch, dict)
                                 else batch.region_masks)
@@ -407,6 +474,23 @@ class ModelTrainer:
             if self.epoch in config.lr_decays:
                 self.lr *= config.lr_decays[self.epoch]
             self.epoch += 1
+
+            # Shape-plan saturation audit: silent caps (level/neighbor/
+            # region truncation) become visible in the training log
+            try:
+                from weasal_tpu.data.telemetry import (
+                    audit_plan_saturation, format_saturation_line)
+                report = audit_plan_saturation(
+                    train_dataset, self.plan,
+                    rng=np.random.default_rng(1000 + self.epoch))
+                for warning in report["warnings"]:
+                    print(f"[plan-saturation] {warning}")
+                if config.saving:
+                    with open(join(config.saving_path,
+                                   "plan_saturation.txt"), "a") as f:
+                        f.write(format_saturation_line(self.epoch, report))
+            except Exception as exc:  # audit must never kill training
+                print(f"[plan-saturation] audit skipped: {exc}")
 
             if config.saving:
                 self.save_checkpoint(chkp_dir)
@@ -498,9 +582,13 @@ class ModelTrainer:
             val_source = Level0BatchSource(val_dataset, self.plan)
         else:
             val_source = val_dataset
+        val_sharding = None
+        if getattr(self, "mesh", None) is not None:
+            from weasal_tpu.parallel.mesh import batch_sharding
+            val_sharding = batch_sharding(self.mesh)
         prefetcher = BatchPrefetcher(val_source, self.plan,
                                      config.validation_size, rng=rng,
-                                     augment=False)
+                                     augment=False, sharding=val_sharding)
         for batch, metas in prefetcher:
             probs_all = np.asarray(self._eval_step(self.state, batch))
             labels_all = np.asarray(batch["labels"]
