@@ -96,7 +96,16 @@ def test_entry_script_data_parallel(tmp_path):
         from train_DALES_WeakLabel import DALESWLConfig
         from train_Vaihingen3D_WeakLabel import run
         from weasal_tpu.data.datasets import DALESWLDataset
-        run(DALESWLConfig, DALESWLDataset,
+
+        class TinyDALESWL(DALESWLDataset):
+            cloud_names = ["5080_54435", "5085_54320", "test_5080_54400"]
+            all_splits = [0, 1, 2]
+            validation_split = 1
+
+            def _test_split(self, test_on_train):
+                return [0, 1] if test_on_train else [2]
+
+        run(DALESWLConfig, TinyDALESWL,
             argv=["results/WeakLabel/Log_dp", "--preset", "quick",
                   "--fused", "--devices", "8",
                   "--al_iterations", "0", "--epoch_steps", "2",
