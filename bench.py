@@ -65,6 +65,11 @@ def build_bench_problem():
         model_name = "KPFCNN_mprm"
         loss_type = "region_mprm_loss"
         compute_dtype = "bfloat16"   # bf16 MXU inputs, f32 accumulation
+        # Banded Pallas KPConv for the narrow rigid convs (override with
+        # WEASAL_BENCH_PALLAS=0/1 to compare paths)
+        use_pallas_kpconv = os.environ.get("WEASAL_BENCH_PALLAS", "0") == "1"
+        use_pallas_search = os.environ.get("WEASAL_BENCH_SEARCH", "0") == "1"
+        pallas_band = int(os.environ.get("WEASAL_BENCH_BAND", "0"))
 
     config = BenchConfig()
     from weasal_tpu.data.demo import demo_batch

@@ -16,3 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-bound (single-CPU CI
+# host, 8 virtual devices), and most modules re-jit near-identical programs.
+# Caching compiled executables on disk makes warm runs fast.
+_CACHE_DIR = os.environ.get(
+    "WEASAL_TEST_CACHE", os.path.join(os.path.dirname(__file__),
+                                      ".jax_compile_cache"))
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

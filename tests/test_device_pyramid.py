@@ -51,7 +51,7 @@ def test_device_pyramid_matches_host():
     mask = np.zeros((1, n0), bool)
     mask[0, :pts.shape[0]] = True
 
-    points, masks, neighbors, pools, upsamples = build_pyramid_device(
+    points, masks, neighbors, pools, upsamples, _ovf = build_pyramid_device(
         jnp.asarray(padded), jnp.asarray(mask), cfg, plan)
 
     # Level point sets match (device order is voxel-sorted; compare as sets)
@@ -97,7 +97,7 @@ def test_device_pyramid_degrees_under_rotation():
     plan = ShapePlan(num_points=[n0, 512, 256],
                      conv_neighbors=[16, 20, 24],
                      pool_neighbors=[16, 20])
-    points, masks, neighbors, pools, upsamples = build_pyramid_device(
+    points, masks, neighbors, pools, upsamples, _ovf = build_pyramid_device(
         jnp.asarray(padded), jnp.asarray(mask), cfg, plan,
         rotations=jnp.asarray(R))
     # Rotated-grid subsample must still produce points near the originals

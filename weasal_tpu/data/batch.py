@@ -58,6 +58,11 @@ class PyramidBatch:
     region_point_masks: Optional[jnp.ndarray] = None  # [B, R, P] bool
     region_lb: Optional[jnp.ndarray] = None      # [B, R, C] float32 multi-hot
 
+    # Telemetry: total banded-search window-overflow rows for this batch
+    # (0 = the device pyramid's neighbor lists are exact; see
+    # ops/pallas/radius_pallas.py). None when the XLA search ran.
+    search_overflow: Optional[jnp.ndarray] = None  # [] float32
+
     @property
     def num_layers(self) -> int:
         return len(self.points)

@@ -22,7 +22,8 @@ from weasal_tpu.ops.subsample import SHADOW_COORD
 def assemble_level0(payloads: Sequence[Dict],
                     plan: ShapePlan,
                     num_classes: int,
-                    rng: Optional[np.random.Generator] = None) -> Dict:
+                    rng: Optional[np.random.Generator] = None,
+                    spatial_sort: bool = True) -> Dict:
     """Pad sphere payloads (from dataset.sample_sphere) to level-0 arrays.
 
     Returns a dict of numpy arrays consumed by the fused train step:
@@ -30,6 +31,15 @@ def assemble_level0(payloads: Sequence[Dict],
     labels [B, N0] (-1 pad), rotations [B, 3, 3] (vertical-axis grid
     rotations for voxel de-aliasing), center_pts [B, 3], cloud_lb [B, C],
     region_inds/masks/point_masks/lb like PyramidBatch.
+
+    With `spatial_sort` (default), each sphere's kept points are reordered
+    by voxel-linear id in the *grid-rotated* frame — the same frame the
+    device pyramid subsamples in — so every pyramid level is ordered along
+    one spatial axis and the banded Pallas KPConv kernel sees narrow
+    neighbor bands (ops/pallas/kpconv_banded.py). The payload dicts are
+    updated in place (points/features/labels/input_inds reordered, region
+    indices remapped) so metas built from them stay consistent; the sort is
+    semantically free otherwise (all consumers are order-invariant).
     """
     rng = rng or np.random.default_rng()
     B = len(payloads)
@@ -59,6 +69,8 @@ def assemble_level0(payloads: Sequence[Dict],
 
     for b, p in enumerate(payloads):
         k = min(p["points"].shape[0], n0)
+        if spatial_sort and k:
+            _sort_payload(p, rotations[b], k)
         points0[b, :k] = p["points"][:k]
         mask0[b, :k] = True
         features[b, :k] = p["features"][:k]
@@ -84,6 +96,38 @@ def assemble_level0(payloads: Sequence[Dict],
                 cloud_lb=cloud_lb, region_inds=region_inds,
                 region_masks=region_masks,
                 region_point_masks=region_point_masks, region_lb=region_lb)
+
+
+def _sort_payload(p: Dict, rotation: np.ndarray, k: int) -> None:
+    """Reorder the first `k` payload rows by grid-rotated voxel order.
+
+    Voxel size = extent/256 (fine enough that the order is effectively a
+    lexicographic spatial sort; the exact granularity only affects band
+    tightness, not correctness).
+    """
+    pts = p["points"][:k] @ rotation          # rotated frame (pts @ R)
+    lo = pts.min(axis=0)
+    extent = float(max(pts.max() - lo.min(), 1e-6))
+    vox = np.floor((pts - lo) / (extent / 256.0)).astype(np.int64)
+    dims = vox.max(axis=0) + 1
+    lin = (vox[:, 0] * dims[1] + vox[:, 1]) * dims[2] + vox[:, 2]
+    perm = np.argsort(lin, kind="stable")
+    if np.array_equal(perm, np.arange(k)):
+        return
+    inv = np.empty(k, np.int64)
+    inv[perm] = np.arange(k)
+
+    for key in ("points", "features", "labels", "input_inds"):
+        if p.get(key) is not None:
+            arr = np.asarray(p[key])
+            p[key] = np.concatenate([arr[:k][perm], arr[k:]], axis=0)
+    if p.get("regions"):
+        remapped = []
+        for inds, lb in p["regions"]:
+            inds = np.asarray(inds, dtype=np.int64)
+            inds = inds[inds < k]
+            remapped.append((inv[inds], lb))
+        p["regions"] = remapped
 
 
 class Level0BatchSource:

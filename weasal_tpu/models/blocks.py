@@ -154,6 +154,7 @@ class KPConv(nn.Module):
     compute_dtype: str = "float32"
     use_pallas: bool = False
     pallas_interpret: bool = False
+    pallas_band: int = 512
 
     def _init_kernel_points(self):
         kp = load_kernels(self.radius, self.kernel_size, self.p_dim,
@@ -200,10 +201,17 @@ class KPConv(nn.Module):
             aggregation=self.aggregation, deformable=self.deformable,
             modulated=self.modulated, compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
-            pallas_interpret=self.pallas_interpret)
-        out, min_sq = ops.kpconv(q_pts, s_pts, neighb_inds, x, kernel_points,
-                                 weights, params, offsets=offsets,
-                                 modulations=modulations)
+            pallas_interpret=self.pallas_interpret,
+            pallas_band=self.pallas_band)
+        out, min_sq, oob = ops.kpconv(
+            q_pts, s_pts, neighb_inds, x, kernel_points, weights, params,
+            offsets=offsets, modulations=modulations, return_oob=True)
+        if ops.pallas_eligible(params, x.shape[-1], self.out_channels):
+            # Out-of-band neighbor drops (should be 0 with spatially
+            # sorted inputs); readable via mutable=['telemetry'].
+            self.sow("telemetry", "pallas_oob", jnp.sum(oob),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=lambda a, b: a + b)
         if self.deformable:
             # Stash regularizer inputs (read via mutable 'deform' collection)
             self.sow("deform", "min_sq", min_sq / self.kp_extent ** 2)
@@ -256,6 +264,7 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
         compute_dtype=getattr(cfg, "compute_dtype", "float32"),
         use_pallas=bool(getattr(cfg, "use_pallas_kpconv", False)),
         pallas_interpret=bool(getattr(cfg, "pallas_interpret", False)),
+        pallas_band=int(getattr(cfg, "pallas_band", 512)),
         name=name)
 
 

@@ -49,6 +49,19 @@ class KPConvParams(NamedTuple):
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' (MXU inputs)
     use_pallas: bool = False         # fused Pallas kernel (rigid sum only)
     pallas_interpret: bool = False   # interpreter mode (CPU testing)
+    pallas_band: int = 512           # banded kernel half-window W
+
+
+def pallas_eligible(params: "KPConvParams", cin: int, cout: int) -> bool:
+    """Whether the banded Pallas kernel handles this op.
+
+    Wide convs (the MPRM heads, Cin 256-512) stay on the XLA path: they
+    are GEMM-dominated there (the MXU runs near peak) and their per-sphere
+    dX slabs exceed the 16 MB VMEM budget in the kernel's backward.
+    """
+    return (params.use_pallas and not params.deformable
+            and params.aggregation == "sum"
+            and cin <= 128 and cout <= 256)
 
 
 def gather_neighbors(values: jnp.ndarray,
@@ -94,7 +107,8 @@ def kpconv(q_pts: jnp.ndarray,
            params: KPConvParams,
            offsets: Optional[jnp.ndarray] = None,
            modulations: Optional[jnp.ndarray] = None,
-           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+           return_oob: bool = False,
+           ):
     """Rigid or deformable KPConv over a dense sphere batch.
 
     :param q_pts: [B, Nq, 3] query points
@@ -105,19 +119,21 @@ def kpconv(q_pts: jnp.ndarray,
     :param weights: [Kp, Cin, Cout]
     :param offsets: [B, Nq, Kp, 3] deformable kernel offsets (if deformable)
     :param modulations: [B, Nq, Kp] in (0, 2) (if modulated)
-    :return: (out [B, Nq, Cout], min_sq_dist [B, Nq, Kp] or None)
+    :param return_oob: also return the banded kernel's out-of-band
+        neighbor count [B] (0.0 when the XLA path ran)
+    :return: (out [B, Nq, Cout], min_sq_dist [B, Nq, Kp] or None[, oob])
         min_sq_dist feeds the deformable fitting regularizer.
     """
     kp = kernel_points.shape[0]
 
-    if (params.use_pallas and not params.deformable
-            and params.aggregation == "sum"):
-        from weasal_tpu.ops.pallas.kpconv_pallas import \
-            kpconv_batched_pallas
-        out = kpconv_batched_pallas(
+    if pallas_eligible(params, x.shape[-1], weights.shape[-1]):
+        from weasal_tpu.ops.pallas.kpconv_banded import kpconv_banded
+        out, oob = kpconv_banded(
             q_pts, s_pts, neighb_inds, x, kernel_points, weights,
             kp_extent=params.kp_extent, influence=params.influence,
-            interpret=params.pallas_interpret)
+            band=params.pallas_band, interpret=params.pallas_interpret)
+        if return_oob:
+            return out, None, oob
         return out, None
 
     # Neighbor coordinates relative to their query ([B, Nq, K, 3]);
@@ -182,7 +198,10 @@ def kpconv(q_pts: jnp.ndarray,
     out = jnp.dot(mxu(weighted.reshape(b * nq, kp * cin)),
                   mxu(weights.reshape(kp * cin, cout)),
                   preferred_element_type=acc_dtype)
-    return out.reshape(b, nq, cout), min_sq
+    out = out.reshape(b, nq, cout)
+    if return_oob:
+        return out, min_sq, jnp.zeros((b,), jnp.float32)
+    return out, min_sq
 
 
 # ----------------------------------------------------------------------------

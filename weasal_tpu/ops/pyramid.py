@@ -36,7 +36,8 @@ def _plan_tuple(plan: ShapePlan):
 @partial(jax.jit, static_argnames=("num_points", "conv_neighbors",
                                    "pool_neighbors", "up_neighbors",
                                    "dl0", "conv_radii", "pool_radii",
-                                   "up_radii", "in_radius", "chunk"))
+                                   "up_radii", "in_radius", "chunk",
+                                   "banded", "band", "interpret"))
 def _build_pyramid(points0: jnp.ndarray,
                    mask0: jnp.ndarray,
                    rotations: Optional[jnp.ndarray],
@@ -49,7 +50,10 @@ def _build_pyramid(points0: jnp.ndarray,
                    pool_radii: Tuple[float, ...],
                    up_radii: Tuple[float, ...],
                    in_radius: float,
-                   chunk: int = 512):
+                   chunk: int = 512,
+                   banded: bool = False,
+                   band: int = 512,
+                   interpret: bool = False):
     L = len(num_points)
     points = [points0]
     masks = [mask0]
@@ -76,26 +80,50 @@ def _build_pyramid(points0: jnp.ndarray,
         points.append(sub)
         masks.append(sub_mask)
 
+    overflow = jnp.zeros((), jnp.float32)
+    if banded:
+        from weasal_tpu.ops.pallas.radius_pallas import (auto_band,
+                                                         radius_search_banded)
+
+        # Monotone sort keys: the rotated-frame x coordinate (each level
+        # is emitted in rotated-frame voxel-linear order; level 0 is sorted
+        # the same way by assemble_level0). Margin = the level's voxel
+        # size (x varies within one x-voxel slab).
+        if rotations is not None:
+            skeys = [jnp.einsum("bnd,bd->bn", p, rotations[:, :, 0],
+                                precision=jax.lax.Precision.HIGHEST)
+                     for p in points]
+        else:
+            skeys = [p[:, :, 0] for p in points]
+
+        def search(lq, ls, r, k):
+            nonlocal overflow
+            margin = dl0 * (2 ** max(lq, ls))
+            w = band if band else auto_band(
+                float(r), float(margin), num_points[lq], num_points[ls],
+                in_radius)
+            idx, ovf = radius_search_banded(
+                points[lq], points[ls], masks[lq], masks[ls],
+                skeys[lq], skeys[ls], radius=float(r), max_count=int(k),
+                band=w, margin=float(margin), interpret=interpret)
+            overflow = overflow + jnp.sum(ovf)
+            return idx
+    else:
+        def search(lq, ls, r, k):
+            return jax.vmap(
+                lambda q, s, qm, sm: radius_search_fixed(
+                    q, s, qm, sm, r, k, chunk))(
+                points[lq], points[ls], masks[lq], masks[ls])
+
     neighbors, pools, upsamples = [], [], []
     for l in range(L):
-        r = conv_radii[l]
-        neighbors.append(jax.vmap(
-            lambda q, s, qm, sm: radius_search_fixed(
-                q, s, qm, sm, r, conv_neighbors[l], chunk))(
-            points[l], points[l], masks[l], masks[l]))
+        neighbors.append(search(l, l, conv_radii[l], conv_neighbors[l]))
         if l < L - 1:
-            pr = pool_radii[l]
-            ur = up_radii[l]
-            pools.append(jax.vmap(
-                lambda q, s, qm, sm: radius_search_fixed(
-                    q, s, qm, sm, pr, pool_neighbors[l], chunk))(
-                points[l + 1], points[l], masks[l + 1], masks[l]))
-            upsamples.append(jax.vmap(
-                lambda q, s, qm, sm: radius_search_fixed(
-                    q, s, qm, sm, ur, up_neighbors, chunk))(
-                points[l], points[l + 1], masks[l], masks[l + 1]))
+            pools.append(search(l + 1, l, pool_radii[l],
+                                pool_neighbors[l]))
+            upsamples.append(search(l, l + 1, up_radii[l], up_neighbors))
     return tuple(points), tuple(masks), tuple(neighbors), tuple(pools), \
-        tuple(upsamples)
+        tuple(upsamples), overflow
 
 
 def build_pyramid_device(points0: jnp.ndarray,
@@ -121,7 +149,13 @@ def build_pyramid_device(points0: jnp.ndarray,
                           tuple(float(r) for r in conv_r),
                           tuple(float(r) for r in pool_r),
                           tuple(float(r) for r in up_r),
-                          float(config.in_radius), chunk)
+                          float(config.in_radius), chunk,
+                          banded=bool(getattr(config, "use_pallas_search",
+                                              False)),
+                          band=int(getattr(config, "pallas_band", 512)),
+                          interpret=bool(getattr(config,
+                                                 "pallas_interpret",
+                                                 False)))
 
 
 def batch_from_device_pyramid(points0, mask0, features, labels, config,
@@ -132,12 +166,13 @@ def batch_from_device_pyramid(points0, mask0, features, labels, config,
                               region_lb=None, chunk: int = 512
                               ) -> PyramidBatch:
     """Assemble a PyramidBatch whose levels are computed on device."""
-    points, masks, neighbors, pools, upsamples = build_pyramid_device(
-        points0, mask0, config, plan, rotations, chunk)
+    points, masks, neighbors, pools, upsamples, overflow = \
+        build_pyramid_device(points0, mask0, config, plan, rotations, chunk)
     lengths = tuple(jnp.sum(m.astype(jnp.int32), axis=1) for m in masks)
     return PyramidBatch(
         points=points, masks=masks, neighbors=neighbors, pools=pools,
         upsamples=upsamples, features=features, labels=labels,
         lengths=lengths, center_pts=center_pts, cloud_lb=cloud_lb,
         region_inds=region_inds, region_masks=region_masks,
-        region_point_masks=region_point_masks, region_lb=region_lb)
+        region_point_masks=region_point_masks, region_lb=region_lb,
+        search_overflow=overflow)
