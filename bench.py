@@ -1,32 +1,48 @@
 #!/usr/bin/env python
 """Benchmark: full weak-label training step throughput on one TPU chip.
 
-Measures the framework's hot loop — KPFCNN_mprm forward (KPConv encoder +
-MPRM attention heads) + region-MPRM loss + backward + SGD update — as one
-jitted step over a dense sphere batch at the reference's Vaihingen3D scale
-(in_radius 18 m, dl 0.24 m, ~20k stacked points per batch,
-train_Vaihingen3D_WeakLabel.py:139-175 / calibration setpoint
-Vaihingen3D_WeakLabel.py:1158-1166).
+Measures the framework's hot loop — device-side pyramid construction
+(grid subsample + banded Pallas radius search) + KPFCNN_mprm forward
+(KPConv encoder + MPRM attention heads) + region-MPRM loss + backward +
+SGD update — as ONE jitted program over device-resident level-0 arrays,
+at two reference geometries:
 
-Throughput unit: real (non-padded) level-0 points processed per second per
-chip. The headline metric uses the fused step — device-side pyramid
-construction + forward + region-MPRM loss + backward + SGD update as ONE
-jitted program over device-resident level-0 arrays (v5e measurement:
-~13.5M points/s, ~1.2ms per 16.8k-point step).
+  * Vaihingen3D WL scale: in_radius 18 m, dl 0.24 m, ~20k stacked points
+    per batch (train_Vaihingen3D_WeakLabel.py:139-175, calibration
+    setpoint Vaihingen3D_WeakLabel.py:1158-1166)
+  * DALES WL scale: in_radius 16 m, dl 0.4 m
+    (train_DALES_WeakLabel.py:139-176)
+
+Timing methodology (round 2): through the remote-TPU tunnel
+`jax.block_until_ready` returns before the device finishes, so wall-clock
+loops measure dispatch rate, not compute — round-1's 12.5M points/s
+headline was dispatch-rate fiction. This bench captures a jax.profiler
+trace and reads the per-execution durations of the jitted step module
+from the device plane ("XLA Modules"), which is ground truth. Expect the
+headline to be ~2 orders of magnitude below round 1's number while the
+program itself got ~3.5x faster.
+
+Extra keys in the JSON line:
+  * step_time_ms — median device time per fused step
+  * mfu — algorithmic KPConv FLOPs (aggregation + weight GEMMs at real,
+    non-padded point counts; a lower bound on useful work) / device time
+    / 197 TFLOP/s (v5e bf16 peak)
+  * stages — per-category device self-time breakdown (us/step)
+  * dales — the same measurements at DALES geometry
 
 `vs_baseline`: the reference publishes no numbers (BASELINE.md) and its
 GPU environment is unavailable here, so the baseline is a faithful
 CPU-torch implementation of the same network's KPConv compute chain
-(gather -> influence -> weighted aggregation -> weight contraction, the
-math of models/blocks.py:238-374) at identical shapes, fwd+bwd. The
-measured baseline is cached in `.bench_baseline.json`.
+(the math of models/blocks.py:238-374) at identical shapes, fwd+bwd,
+cached in `.bench_baseline.json`. MFU is the physics yardstick.
 
 Prints ONE json line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...}
 """
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -36,10 +52,11 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline.json")
+PEAK_FLOPS_BF16 = 197e12        # TPU v5e (v5 lite) MXU peak, bf16
 
 
-def build_bench_problem():
-    """Vaihingen-scale config + demo batch (~7k real pts/sphere, B=3)."""
+def build_bench_problem(geometry: str = "vaihingen"):
+    """Reference-scale config + demo batch for a bench geometry."""
     from weasal_tpu.config import Config
 
     class BenchConfig(Config):
@@ -65,158 +82,67 @@ def build_bench_problem():
         model_name = "KPFCNN_mprm"
         loss_type = "region_mprm_loss"
         compute_dtype = "bfloat16"   # bf16 MXU inputs, f32 accumulation
-        # Banded Pallas KPConv for the narrow rigid convs (override with
-        # WEASAL_BENCH_PALLAS=0/1 to compare paths)
-        use_pallas_kpconv = os.environ.get("WEASAL_BENCH_PALLAS", "0") == "1"
-        use_pallas_search = os.environ.get("WEASAL_BENCH_SEARCH", "0") == "1"
+        # Pallas paths (env-overridable for A/B comparison; default
+        # "auto" = on for real TPU backends)
+        use_pallas_search = os.environ.get("WEASAL_BENCH_SEARCH", "auto")
+        use_pallas_kpconv = os.environ.get("WEASAL_BENCH_PALLAS", "auto")
         pallas_band = int(os.environ.get("WEASAL_BENCH_BAND", "0"))
 
     config = BenchConfig()
+    density = 7.0
+    if geometry == "dales":
+        # DALES: 16 m spheres, 0.4 m voxels, denser ALS returns, 2-sphere
+        # batches (train_DALES_WeakLabel.py:139-176)
+        config.dataset = "DALES_WL"
+        config.num_classes = 8
+        config.in_radius = 16.0
+        config.first_subsampling_dl = 0.4
+        config.batch_num = 2
+        density = 12.0
+
     from weasal_tpu.data.demo import demo_batch
-    # density ~7 pts/m^2 at dl 0.24 -> ~7k points per 18 m sphere after
-    # voxel dedup, matching the reference's ~20k-points/3-sphere batches
     batch, plan = demo_batch(config, batch_size=config.batch_num, seed=0,
-                             density=7.0)
+                             density=density)
     return config, batch, plan
 
 
-def bench_tpu_step(config, batch, steps=20):
-    import jax
-    import optax
-    from weasal_tpu.models import losses
-    from weasal_tpu.models.architectures import KPFCNN_mprm
-    from weasal_tpu.train.trainer import make_optimizer
-
-    model = KPFCNN_mprm(config, tuple(range(config.num_classes)), ())
-    from weasal_tpu.models.init import jit_init
-    variables = jit_init(model, jax.random.PRNGKey(0), batch)
-    params = variables["params"]
-    tx = make_optimizer(config, params)
-    opt_state = tx.init(params)
-    batch_stats = variables.get("batch_stats", {})
-    constants = variables.get("constants", {})
-
-    @jax.jit
-    def train_step(params, batch_stats, constants, opt_state, batch):
-        def loss_fn(p):
-            out, mutated = model.apply(
-                {"params": p, "batch_stats": batch_stats,
-                 "constants": constants},
-                batch, train=True, mutable=["batch_stats"])
-            _logits, _cla, cam = out
-            loss = losses.region_mprm_loss(
-                cam, batch.region_inds, batch.region_masks,
-                batch.region_point_masks, batch.region_lb)
-            return loss, mutated["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        updates = jax.tree_util.tree_map(
-            lambda u: -config.learning_rate * u, updates)
-        return optax.apply_updates(params, updates), new_bs, new_opt, loss
-
-    # Device-resident inputs: through the tunneled chip, shipping numpy
-    # batches per step measures the link, not the chip (real pipelines
-    # overlap transfers via prefetch)
-    batch = jax.device_put(batch)
-
-    # Warmup/compile
-    params, batch_stats, opt_state, loss = train_step(
-        params, batch_stats, constants, opt_state, batch)
-    jax.block_until_ready(loss)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, constants, opt_state, batch)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / steps
-
-    real_points = int(np.sum(np.asarray(batch.lengths[0])))
-    return real_points / dt, dt, real_points, float(loss)
-
-
-def bench_torch_cpu_baseline(config, batch, steps=3):
-    """Reference-math KPConv chain (torch, CPU) fwd+bwd at the same shapes.
-
-    Implements the conv sequence of the mprm encoder in the reference's
-    stacked layout: for each conv in the architecture walk, gather
-    neighbors, linear influence to 15 kernel points, two matmuls. The
-    returned throughput is stacked-level-0 points per second.
-    """
-    import torch
-
-    torch.set_num_threads(os.cpu_count() or 1)
-    rng = np.random.default_rng(0)
-
-    # Shapes from the batch: per level (N_real_total, K)
-    levels = []
-    for l in range(len(batch.points)):
-        n = int(np.sum(np.asarray(batch.lengths[l])))
-        k = int(batch.neighbors[l].shape[2])
-        levels.append((n, k))
-
-    # Conv plan of the WL architecture (level, cin, cout) per KPConv, from
-    # the same dim bookkeeping the model uses
+def wl_conv_plan(config):
+    """(level, cin, cout) of every KPConv in the WL mprm network, from the
+    same dim bookkeeping the model uses."""
     f = config.first_features_dim
-    conv_plan = [
+    return [
         (0, config.in_features_dim, f // 2),        # simple
         (0, f // 4, f // 4),                        # resnetb bottleneck
         (0, f // 4, f // 4),                        # resnetb_strided (pool)
         (1, f // 2, f // 2),                        # resnetb @ level1
         (1, f // 2, f // 2),                        # resnetb_strided
         (2, f, f),                                  # resnetb @ level2
-        # MPRM heads: 5 SimpleBlock2 convs at level 2 (sa 2x, ca 2x, pa 1x)
+        # MPRM heads: SimpleBlock2 convs at level 2 (sa 2x, ca 2x, pa 1x)
         (2, 4 * f, 4 * f), (2, 4 * f, 4 * f),
         (2, 4 * f, f // 2), (2, f // 2, 4 * f),
         (2, 8 * f, 4 * f),
     ]
 
+
+def conv_flops(config, batch):
+    """Algorithmic KPConv FLOPs per train step (fwd + 2x for bwd) at real
+    point counts: influence-weighted aggregation (N*Kp*K*Cin MACs) plus
+    the per-kernel-point weight GEMM (N*Kp*Cin*Cout MACs)."""
+    levels = []
+    for l in range(len(batch.points)):
+        n = int(np.sum(np.asarray(batch.lengths[l])))
+        k = int(batch.neighbors[l].shape[2])
+        levels.append((n, k))
     kp = config.num_kernel_points
-    tensors = []
-    for (lvl, cin, cout) in conv_plan:
+    total = 0
+    for (lvl, cin, cout) in wl_conv_plan(config):
         n, k = levels[min(lvl, len(levels) - 1)]
-        neighb = torch.from_numpy(
-            rng.integers(0, n, size=(n, k)).astype(np.int64))
-        x = torch.randn(n, cin, requires_grad=True)
-        pts = torch.from_numpy(
-            rng.uniform(-1, 1, size=(n, 3)).astype(np.float32))
-        kpts = torch.from_numpy(
-            rng.uniform(-0.3, 0.3, size=(kp, 3)).astype(np.float32))
-        w = (torch.randn(kp, cin, cout) / np.sqrt(cin)).requires_grad_()
-        tensors.append((pts, neighb, x, kpts, w))
-
-    extent = config.KP_extent * config.first_subsampling_dl
-
-    def kpconv_chain():
-        total = 0.0
-        for (pts, neighb, x, kpts, w) in tensors:
-            neighbors = pts[neighb] - pts.unsqueeze(1)        # [n,k,3]
-            diff = neighbors.unsqueeze(2) - kpts              # [n,k,Kp,3]
-            sq = (diff * diff).sum(3)
-            infl = torch.clamp(1 - torch.sqrt(sq) / extent, min=0.0)
-            infl = infl.transpose(1, 2)                       # [n,Kp,k]
-            nx = x[neighb]                                    # [n,k,cin]
-            weighted = torch.matmul(infl, nx)                 # [n,Kp,cin]
-            out = torch.einsum("npc,pcd->nd", weighted, w)
-            total = total + out.square().mean()
-        return total
-
-    # Warmup + timed fwd+bwd
-    loss = kpconv_chain()
-    loss.backward()
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        loss = kpconv_chain()
-        loss.backward()
-    dt = (time.perf_counter() - t0) / steps
-    return levels[0][0] / dt
+        total += 2 * n * kp * (k * cin + cin * cout)
+    return 3 * total      # fwd + backward (~2x fwd)
 
 
-def bench_fused_step(config, plan, steps=20):
-    """Fused end-to-end step: device pyramid + forward + backward + update,
-    one jitted program over level-0 arrays (the north-star path)."""
+def make_fused_step(config, plan, seed=0, density=7.0):
+    """Build (fused_step_fn, state, device arrays) for the WL problem."""
     import jax
     import optax
     from weasal_tpu.data.demo import demo_sphere
@@ -227,8 +153,8 @@ def bench_fused_step(config, plan, steps=20):
     from weasal_tpu.ops.pyramid import batch_from_device_pyramid
     from weasal_tpu.train.trainer import make_optimizer
 
-    rng = np.random.default_rng(0)
-    payloads = [demo_sphere(rng, config, density=7.0)
+    rng = np.random.default_rng(seed)
+    payloads = [demo_sphere(rng, config, density=density)
                 for _ in range(config.batch_num)]
     for p in payloads:  # thin to the plan budget like the sampler does
         n0 = plan.num_points[0]
@@ -290,52 +216,151 @@ def bench_fused_step(config, plan, steps=20):
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
     arrays = jax.device_put(arrays)
+    state = (params, batch_stats, constants, opt_state)
+    return fused_step, state, arrays
+
+
+def bench_fused_step(config, plan, steps=10,
+                     trace_dir="/tmp/weasal_bench_trace", density=7.0):
+    """Profile the fused step; return device-time stats (ground truth)."""
+    import jax
+    from weasal_tpu.utils.profiling import module_times_us, stage_breakdown
+
+    fused_step, (params, batch_stats, constants, opt_state), arrays = \
+        make_fused_step(config, plan, density=density)
+
+    # Warmup / compile; fetch the loss to force completion (a real
+    # transfer cannot return early, unlike block_until_ready here)
     params, batch_stats, opt_state, loss = fused_step(
         params, batch_stats, constants, opt_state, arrays)
-    jax.block_until_ready(loss)
+    loss_val = float(loss)
 
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(steps):
+            params, batch_stats, opt_state, loss = fused_step(
+                params, batch_stats, constants, opt_state, arrays)
+        _ = float(loss)
+
+    times = module_times_us(trace_dir, "fused_step")
+    if not times:
+        raise RuntimeError("no fused_step module events in trace")
+    step_us = float(np.median(times))
+    stages = {k: round(v, 1) for k, v in
+              stage_breakdown(trace_dir, len(times)).items()}
+
+    real_points = int(np.asarray(arrays["mask0"]).sum())
+    return dict(
+        points_per_sec=real_points / (step_us / 1e6),
+        step_time_ms=step_us / 1e3,
+        real_points=real_points,
+        loss=loss_val,
+        stages=stages,
+    )
+
+
+def bench_torch_cpu_baseline(config, batch, steps=3):
+    """Reference-math KPConv chain (torch, CPU) fwd+bwd at the same
+    shapes (gather -> influence -> weighted aggregation -> weight
+    contraction, the math of models/blocks.py:238-374). CPU wall clock
+    is honest timing."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    rng = np.random.default_rng(0)
+
+    levels = []
+    for l in range(len(batch.points)):
+        n = int(np.sum(np.asarray(batch.lengths[l])))
+        k = int(batch.neighbors[l].shape[2])
+        levels.append((n, k))
+
+    kp = config.num_kernel_points
+    tensors = []
+    for (lvl, cin, cout) in wl_conv_plan(config):
+        n, k = levels[min(lvl, len(levels) - 1)]
+        neighb = torch.from_numpy(
+            rng.integers(0, n, size=(n, k)).astype(np.int64))
+        x = torch.randn(n, cin, requires_grad=True)
+        pts = torch.from_numpy(
+            rng.uniform(-1, 1, size=(n, 3)).astype(np.float32))
+        kpts = torch.from_numpy(
+            rng.uniform(-0.3, 0.3, size=(kp, 3)).astype(np.float32))
+        w = (torch.randn(kp, cin, cout) / np.sqrt(cin)).requires_grad_()
+        tensors.append((pts, neighb, x, kpts, w))
+
+    extent = config.KP_extent * config.first_subsampling_dl
+
+    def kpconv_chain():
+        total = 0.0
+        for (pts, neighb, x, kpts, w) in tensors:
+            neighbors = pts[neighb] - pts.unsqueeze(1)        # [n,k,3]
+            diff = neighbors.unsqueeze(2) - kpts              # [n,k,Kp,3]
+            sq = (diff * diff).sum(3)
+            infl = torch.clamp(1 - torch.sqrt(sq) / extent, min=0.0)
+            infl = infl.transpose(1, 2)                       # [n,Kp,k]
+            nx = x[neighb]                                    # [n,k,cin]
+            weighted = torch.matmul(infl, nx)                 # [n,Kp,cin]
+            out = torch.einsum("npc,pcd->nd", weighted, w)
+            total = total + out.square().mean()
+        return total
+
+    loss = kpconv_chain()
+    loss.backward()
     t0 = time.perf_counter()
     for _ in range(steps):
-        params, batch_stats, opt_state, loss = fused_step(
-            params, batch_stats, constants, opt_state, arrays)
-    jax.block_until_ready(loss)
+        loss = kpconv_chain()
+        loss.backward()
     dt = (time.perf_counter() - t0) / steps
-
-    real_points = int(arrays["mask0"].sum())
-    return real_points / dt, dt, real_points, float(loss)
+    return levels[0][0] / dt
 
 
 def main():
-    config, batch, plan = build_bench_problem()
+    results = {}
+    for geometry in ("vaihingen", "dales"):
+        config, batch, plan = build_bench_problem(geometry)
+        r = bench_fused_step(config, plan,
+                             density=12.0 if geometry == "dales" else 7.0)
+        r["mfu"] = round(conv_flops(config, batch)
+                         / (r["step_time_ms"] / 1e3) / PEAK_FLOPS_BF16, 4)
+        results[geometry] = r
 
-    # Headline: the fused end-to-end step (device pyramid included); falls
-    # back to the host-pyramid step if the fused path fails to compile
-    try:
-        value, step_time, real_points, loss = bench_fused_step(config, plan)
-        metric = "fused_wl_train_step_points_per_sec_per_chip"
-    except Exception as e:
-        print(f"# fused step unavailable ({type(e).__name__}); "
-              "falling back", flush=True)
-        value, step_time, real_points, loss = bench_tpu_step(config, batch)
-        metric = "wl_train_step_points_per_sec_per_chip"
-
+    config, batch, _ = build_bench_problem("vaihingen")
     baseline = None
     if os.path.exists(BASELINE_CACHE):
         try:
             with open(BASELINE_CACHE) as f:
-                baseline = json.load(f)["torch_cpu_points_per_sec"]
+                cache = json.load(f)
+                baseline = cache.get("torch_cpu_points_per_sec_v2")
         except Exception:
             baseline = None
     if baseline is None:
         baseline = bench_torch_cpu_baseline(config, batch)
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"torch_cpu_points_per_sec": baseline}, f)
+            json.dump({"torch_cpu_points_per_sec_v2": baseline}, f)
 
+    v = results["vaihingen"]
+    d = results["dales"]
     print(json.dumps({
-        "metric": metric,
-        "value": round(value, 1),
+        "metric": "fused_wl_train_step_points_per_sec_per_chip",
+        "value": round(v["points_per_sec"], 1),
         "unit": "points/s",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(v["points_per_sec"] / baseline, 2),
+        "step_time_ms": round(v["step_time_ms"], 2),
+        "mfu": v["mfu"],
+        "real_points": v["real_points"],
+        "stages_us_per_step": v["stages"],
+        "dales": {
+            "value": round(d["points_per_sec"], 1),
+            "step_time_ms": round(d["step_time_ms"], 2),
+            "mfu": d["mfu"],
+            "real_points": d["real_points"],
+        },
+        "timing": "device-time (profiler XLA Modules); wall-clock through "
+                  "the TPU tunnel measures dispatch rate and is not used",
+        "baseline": "torch-CPU KPConv chain at identical shapes "
+                    "(reference GPU env unavailable); MFU vs 197 TF/s "
+                    "bf16 peak is the physics yardstick",
     }))
 
 

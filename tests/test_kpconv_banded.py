@@ -88,10 +88,35 @@ class TestBandedKPConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_wide_channels_grouped_dw(self):
+        """Cin=512/Cout=256 forces the dW kernel onto >1 kernel-point
+        group; numerics and both grads must still match the XLA path."""
+        rng = np.random.default_rng(7)
+        q, s, nb, x, kpts, w = _problem(rng, b=1, n_q=24, n_s=48, k=5,
+                                        cin=512, cout=256)
+        params = KPConvParams(kp_extent=0.7)
+
+        def loss_ref(x, w):
+            return jnp.sum(kpconv(q, s, nb, x, kpts, w, params)[0] ** 2)
+
+        def loss_band(x, w):
+            return jnp.sum(kpconv_banded(q, s, nb, x, kpts, w, 0.7,
+                                         interpret=True)[0] ** 2)
+
+        np.testing.assert_allclose(
+            float(loss_band(x, w)), float(loss_ref(x, w)), rtol=1e-4)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        gb = jax.grad(loss_band, argnums=(0, 1))(x, w)
+        for a, b_ in zip(gr, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
+
     def test_dispatch_gating(self):
         pal = KPConvParams(kp_extent=0.5, use_pallas=True)
         assert pallas_eligible(pal, 64, 128)
-        assert not pallas_eligible(pal, 256, 256)       # MPRM width: XLA
+        assert pallas_eligible(pal, 256, 256)           # MPRM heads too
+        assert pallas_eligible(pal, 512, 256)
+        assert not pallas_eligible(pal, 1024, 64)       # beyond VMEM plan
         assert not pallas_eligible(pal._replace(deformable=True), 64, 64)
         assert not pallas_eligible(
             pal._replace(aggregation="closest"), 64, 64)

@@ -128,12 +128,14 @@ class Config:
     compute_dtype = "float32"        # 'float32' | 'bfloat16'
     # Number of data-parallel devices to shard spheres over (0 = all)
     data_parallel_devices = 0
-    # Fused banded Pallas KPConv kernel (ops/pallas/kpconv_banded.py) for
-    # the rigid narrow convs; wide MPRM heads always use the XLA path
-    use_pallas_kpconv = False
+    # Gatherless banded Pallas KPConv kernel (ops/pallas/kpconv_banded.py)
+    # for all rigid sum-aggregation convs. "auto" = on when the backend is
+    # a real TPU (measured 2-2.8x over the XLA gather path at reference
+    # shapes); True/False force it.
+    use_pallas_kpconv = "auto"
     # Banded Pallas radius search inside the device pyramid (replaces the
-    # XLA top_k/sort path, the dominant cost of the fused step)
-    use_pallas_search = False
+    # XLA top_k/sort path — was 80% of the fused step). Same "auto" rule.
+    use_pallas_search = "auto"
     pallas_band = 0                  # band half-window W rows (0 = auto,
                                      # sized per level from the plan)
 

@@ -29,6 +29,7 @@ from flax import linen as nn
 from weasal_tpu.kernels.kernel_points import load_kernels
 from weasal_tpu.ops import kpconv as ops
 from weasal_tpu.ops.kpconv import KPConvParams
+from weasal_tpu.utils.platform import resolve_pallas_flag
 
 LEAKY_SLOPE = 0.1
 
@@ -154,7 +155,9 @@ class KPConv(nn.Module):
     compute_dtype: str = "float32"
     use_pallas: bool = False
     pallas_interpret: bool = False
-    pallas_band: int = 512
+    pallas_band: int = 0             # 0 = auto from conv geometry
+    in_radius: float = 0.0           # sphere radius (m) for auto banding
+    sort_margin: float = 0.0         # level voxel size (m), sort slack
 
     def _init_kernel_points(self):
         kp = load_kernels(self.radius, self.kernel_size, self.p_dim,
@@ -202,7 +205,9 @@ class KPConv(nn.Module):
             modulated=self.modulated, compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
-            pallas_band=self.pallas_band)
+            pallas_band=self.pallas_band,
+            radius=self.radius, in_radius=self.in_radius,
+            sort_margin=self.sort_margin)
         out, min_sq, oob = ops.kpconv(
             q_pts, s_pts, neighb_inds, x, kernel_points, weights, params,
             offsets=offsets, modulations=modulations, return_oob=True)
@@ -262,9 +267,12 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
         deformable="deform" in block_name, modulated=cfg.modulated,
         pose_seed=seed & 0x7FFFFFFF,
         compute_dtype=getattr(cfg, "compute_dtype", "float32"),
-        use_pallas=bool(getattr(cfg, "use_pallas_kpconv", False)),
+        use_pallas=resolve_pallas_flag(
+            getattr(cfg, "use_pallas_kpconv", False)),
         pallas_interpret=bool(getattr(cfg, "pallas_interpret", False)),
-        pallas_band=int(getattr(cfg, "pallas_band", 512)),
+        pallas_band=int(getattr(cfg, "pallas_band", 0)),
+        in_radius=float(getattr(cfg, "in_radius", 0.0)),
+        sort_margin=radius / cfg.conv_radius,
         name=name)
 
 

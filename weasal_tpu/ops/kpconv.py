@@ -49,19 +49,36 @@ class KPConvParams(NamedTuple):
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' (MXU inputs)
     use_pallas: bool = False         # fused Pallas kernel (rigid sum only)
     pallas_interpret: bool = False   # interpreter mode (CPU testing)
-    pallas_band: int = 512           # banded kernel half-window W
+    pallas_band: int = 0             # banded kernel half-window W (0=auto)
+    radius: float = 0.0              # conv radius (m) for auto banding
+    in_radius: float = 0.0           # sphere radius (m) for auto banding
+    sort_margin: float = 0.0         # spatial-sort slack (level voxel, m)
 
 
 def pallas_eligible(params: "KPConvParams", cin: int, cout: int) -> bool:
-    """Whether the banded Pallas kernel handles this op.
+    """Whether the gatherless banded Pallas kernel handles this op.
 
-    Wide convs (the MPRM heads, Cin 256-512) stay on the XLA path: they
-    are GEMM-dominated there (the MXU runs near peak) and their per-sphere
-    dX slabs exceed the 16 MB VMEM budget in the kernel's backward.
+    Rigid sum-aggregation convs up to the widest shipped shapes
+    (Cin/Cout 512; VMEM-sized two-pass backward). Deformable and
+    closest-aggregation convs stay on the XLA path.
     """
     return (params.use_pallas and not params.deformable
             and params.aggregation == "sum"
-            and cin <= 128 and cout <= 256)
+            and cin <= 512 and cout <= 512)
+
+
+def _pallas_band(params: "KPConvParams", nq: int, ns: int) -> int:
+    """Resolve the band half-window: explicit config wins, else sized
+    from the conv geometry (see radius_pallas.auto_band), else default."""
+    if params.pallas_band > 0:
+        return params.pallas_band
+    if params.radius > 0 and params.in_radius > 0:
+        from weasal_tpu.ops.pallas.radius_pallas import auto_band
+        # sort_margin = the support level's voxel size (only support-side
+        # key disorder matters; query tiles use their actual extents)
+        return auto_band(params.radius, params.sort_margin,
+                         nq, ns, params.in_radius)
+    return 0
 
 
 def gather_neighbors(values: jnp.ndarray,
@@ -131,7 +148,8 @@ def kpconv(q_pts: jnp.ndarray,
         out, oob = kpconv_banded(
             q_pts, s_pts, neighb_inds, x, kernel_points, weights,
             kp_extent=params.kp_extent, influence=params.influence,
-            band=params.pallas_band, interpret=params.pallas_interpret)
+            band=_pallas_band(params, q_pts.shape[1], x.shape[1]),
+            interpret=params.pallas_interpret)
         if return_oob:
             return out, None, oob
         return out, None

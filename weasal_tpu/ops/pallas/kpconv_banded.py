@@ -1,48 +1,45 @@
-"""Banded fused rigid KPConv — Pallas TPU kernel with custom VJP.
+"""Gatherless banded rigid KPConv — Pallas TPU kernel with custom VJP.
 
-Second-generation kernel (round 2): replaces the full-support-width one-hot
-gathers of kpconv_pallas.py with **spatially banded** gathers. When the
-support cloud is sorted along a space-filling order (voxel-linear order —
-which ops/subsample.grid_subsample_fixed already emits and
-data/level0.assemble_level0 applies to level 0), all neighbors of a
-contiguous query tile live in a narrow index band. Each grid step then
-loads only a 2*W-row window of the support table instead of all Ns rows,
-shrinking the dominant one-hot-gather matmuls by Ns/(2W) (5-15x at
-reference geometry).
+Third-generation kernel. The XLA KPConv path materializes gathered
+neighbor features [B, Nq, K, Cin] (273 MB bf16 at the wide MPRM level)
+and its backward scatters into [B, Ns, Cin] — measured as the dominant
+cost of the fused train step once the radius search is banded (gathers
+~12 ms + scatters ~27 ms of a 94 ms step at reference geometry). The
+second-generation kernel (git history) replaced the gather with per-slot
+one-hot MXU products but still paid one [T, 2W] matmul per neighbor slot
+(K of them) — slower than XLA's native gathers at real shapes.
 
-Grid = (query-tile, neighbor-slot k). Keeping the slot on the grid bounds
-scoped VMEM (a static Python K-loop makes Mosaic hold every slot's
-temporaries live — measured 79 MB at K=29, Cin=256) and lets each slot's
-neighbor column ride its own (T, 1) block, sidestepping dynamic lane
-indexing. The banded gather table ([s_hi | s_lo | x], 2W rows) is built
-once per tile (at k == 0) into persistent scratch; band blocks are
-selected per tile via scalar-prefetched block indices, so they are DMA'd
-once per tile, not per slot.
+This kernel never gathers. With supports spatially sorted (voxel-linear
+order — ops/subsample emits it, data/level0.assemble_level0 applies it
+to level 0), all neighbors of a 128-query tile live in a two-block
+window of the support table selected via scalar-prefetched block
+indices. Per tile it rebuilds the *banded influence matrix* directly
+from geometry and turns the whole conv into banded MXU matmuls:
 
-    k == 0:  table = [bf16(s) | f32(s)-bf16(s) | bf16(x)]   # scratch
-    each k:  onehot_k = (band_cols == nb[:, k] - band_start)  # [T, 2W]
-             g_k      = onehot_k @ table                      # MXU gather
-             infl_k   = influence(|coords_k - q - kp_p|) * valid
-             wacc[p] += infl_k[:, p] * x_k                    # VPU
-    k == K-1: out = sum_p wacc[p] @ W[p]                      # MXU
+    M[t, j]   = sum_k (nb[t, k] == j + start)      # membership, K passes
+    rel_d     = s_band[d] - q[t, d]                # [T, 2W] per axis, VPU
+    d2        = sum_d rel_d^2
+    per kernel point p:
+      d2p     = d2 - 2 sum_d rel_d * kp[p, d] + |kp_p|^2
+      A_p     = influence(d2p) * M                 # [T, 2W]
+      out    += (A_p @ x_band) @ W_p               # MXU, no gather
 
-    backward (same banding): dX via onehot^T @ dxk accumulated in a
-    2W-row scratch, flushed into a dynamic W-aligned slice of the
-    per-sphere dX slab at k == K-1; dW via wacc^T @ g.
+    backward: dX_band += A_p^T @ (g @ W_p^T)       # MXU, no scatter
+              dW_p    += (A_p @ x_band)^T @ g
 
-The band window is two W-row blocks: block s = clamp(min_valid_neighbor
-// W, 0, nblocks-2), so any neighbor span <= W+1 rows is always covered.
-Out-of-band neighbors (sort not applied / undersized W) contribute zero
-exactly like shadows and are *counted* into a per-sphere `oob` output for
-telemetry.
+Membership comes from the *actual neighbor lists*, so the semantics are
+exactly the XLA path's (including the calibrated K-truncation of
+crowded neighborhoods and shadow rows >= Ns) — not a radius test.
+Neighbors outside the window are dropped exactly like shadows and
+counted into the per-sphere `oob` output (0 with sorted inputs and an
+adequate band; see ops/pallas/radius_pallas.auto_band).
 
-Precision: support coordinates ride the MXU as split hi/lo bf16 columns
-(one-hot products are exact in bf16, so hi+lo recovers f32 coordinates);
-influence distances are computed per-axis on the VPU in f32.
+The band is processed one W-row half at a time (never concatenated), so
+peak VMEM stays within budget even at the widest shipped shapes
+(Cin 512, W 1536). The backward runs as two kernels (dX without x,
+dW without W) for the same reason.
 
-Semantics otherwise identical to ops.kpconv rigid path (shadow index >= Ns
-contributes nothing; influence 'constant' | 'linear' | 'gaussian';
-aggregation 'sum'). Reference op chain: models/blocks.py:238-374.
+Reference op chain: models/blocks.py:238-374 (rigid sum aggregation).
 """
 
 from __future__ import annotations
@@ -58,151 +55,167 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 128
 DEFAULT_BAND = 512
 
+# v5e has 128 MB of VMEM; the default 16 MB *scoped* limit rejects the
+# double-buffered output slabs of the widest convs. Raise it (leaving
+# headroom for Mosaic's own scratch).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-def _influence(d2, kp_extent: float, mode: str):
-    d2 = jnp.maximum(d2, 0.0)
+
+def _membership_half(nb, half_start, band, t):
+    """[T, band] multiplicity of each half-window column in the neighbor
+    lists (built per half to halve peak VMEM; same total VPU work).
+    bf16 storage: values are small integers, exactly representable."""
+    k_width = nb.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, band), 1)
+    m = jnp.zeros((t, band), jnp.bfloat16)
+    for k in range(k_width):
+        rel = nb[:, k:k + 1] - half_start            # [T, 1]
+        m += (col_ids == rel).astype(jnp.bfloat16)
+    return m
+
+
+def _oob_count(nb, start_row, n_support, width):
+    """[T, 1] count of valid neighbors outside the window (scalar-cheap:
+    no [T, width] tensors involved)."""
+    k_width = nb.shape[1]
+    oob = jnp.zeros((nb.shape[0], 1), jnp.float32)
+    for k in range(k_width):
+        idx = nb[:, k:k + 1]
+        rel = idx - start_row
+        oob += ((idx < n_support)
+                & ((rel < 0) | (rel >= width))).astype(jnp.float32)
+    return oob
+
+
+def _influence_from_d2(d2p, kp_extent: float, mode: str):
     if mode == "constant":
-        return jnp.ones_like(d2)
+        return jnp.ones_like(d2p)
     if mode == "linear":
-        return jnp.clip(1.0 - jnp.sqrt(d2) / kp_extent, 0.0, None)
+        return jnp.clip(1.0 - jnp.sqrt(jnp.maximum(d2p, 0.0)) / kp_extent,
+                        0.0, None)
     if mode == "gaussian":
         sigma = kp_extent * 0.3
-        return jnp.exp(-d2 / (2 * sigma ** 2 + 1e-9))
+        return jnp.exp(-jnp.maximum(d2p, 0.0) / (2 * sigma ** 2 + 1e-9))
     raise ValueError(f"Unknown influence mode: {mode}")
 
 
-def _build_table(table_ref, s_lo_ref, s_hi_ref, x_lo_ref, x_hi_ref):
-    """Fill the per-tile gather table scratch [2W, 6+Cin] (mxu dtype)."""
-    s = jnp.concatenate([s_lo_ref[:], s_hi_ref[:]], axis=0)   # [2W, 3] f32
-    s_hi = s.astype(jnp.bfloat16).astype(table_ref.dtype)
-    s_lo = (s - s_hi.astype(jnp.float32)).astype(table_ref.dtype)
-    x = jnp.concatenate([x_lo_ref[:], x_hi_ref[:]],
-                        axis=0).astype(table_ref.dtype)       # [2W, Cin]
-    table_ref[:] = jnp.concatenate([s_hi, s_lo, x], axis=1)
-
-
-def _slot(nb_ref, n_support, start_row, table_ref, q, kp_pts,
-          kp_extent, influence, mxu_dtype):
-    """One neighbor slot: banded one-hot gather + influence weights."""
-    t = q.shape[0]
-    kp = kp_pts.shape[0]
-    width = table_ref.shape[0]
-    idx = nb_ref[:]                                           # [T, 1]
-    valid = (idx < n_support).astype(jnp.float32)
-    idx_rel = idx - start_row
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (t, width), 1)
-    onehot = (col_ids == idx_rel).astype(mxu_dtype)
-    oob = valid * ((idx_rel < 0) | (idx_rel >= width)).astype(jnp.float32)
-
-    gathered = jnp.dot(onehot, table_ref[:],
-                       preferred_element_type=jnp.float32)    # [T, 6+Cin]
-    coords = gathered[:, :3] + gathered[:, 3:6]
-    xk = gathered[:, 6:]
-
-    rel = coords - q
-    d2 = jnp.zeros((t, kp), jnp.float32)
+def _half_geometry(q, s_half, keep_rel=True):
+    """rel_d [T, W] per axis (optional) and d2 [T, W] for one band half
+    (VPU f32). keep_rel=False trades VPU recompute for ~2.4 MB of VMEM
+    at the widest shapes."""
+    if keep_rel:
+        rel = [s_half[:, d:d + 1].T - q[:, d:d + 1] for d in range(3)]
+        d2 = rel[0] * rel[0] + rel[1] * rel[1] + rel[2] * rel[2]
+        return rel, d2
+    d2 = None
     for d in range(3):
-        diff = rel[:, d:d + 1] - kp_pts[:, d:d + 1].T
-        d2 += diff * diff
-    infl = _influence(d2, kp_extent, influence) * valid       # [T, Kp]
-    return onehot, infl, xk, oob
+        tmp = s_half[:, d:d + 1].T - q[:, d:d + 1]
+        d2 = tmp * tmp if d2 is None else d2 + tmp * tmp
+    return None, d2
+
+
+def _banded_a(rel, d2, m_half, kp_ref, p, kp_extent, influence,
+              q=None, s_half=None):
+    """Influence matrix A_p for one (kernel point, band half). With
+    rel=None the per-axis differences are recomputed from (q, s_half)."""
+    kx = kp_ref[p, 0]
+    ky = kp_ref[p, 1]
+    kz = kp_ref[p, 2]
+    if rel is not None:
+        c = rel[0] * kx + rel[1] * ky + rel[2] * kz
+    else:
+        c = ((s_half[:, 0:1].T - q[:, 0:1]) * kx
+             + (s_half[:, 1:2].T - q[:, 1:2]) * ky
+             + (s_half[:, 2:3].T - q[:, 2:3]) * kz)
+    d2p = d2 - 2.0 * c + (kx * kx + ky * ky + kz * kz)
+    return _influence_from_d2(d2p, kp_extent, influence) * m_half
 
 
 def _fwd_kernel(starts_ref, q_ref, nb_ref, s_lo_ref, s_hi_ref,
                 x_lo_ref, x_hi_ref, kp_ref, w_ref, out_ref, oob_ref,
-                wacc_ref, table_ref, *, kp_extent: float, influence: str,
-                n_support: int, mxu_dtype, k_width: int, band: int):
-    kp = kp_ref.shape[0]
+                *, kp_extent: float, influence: str, n_support: int,
+                mxu_dtype, band: int):
+    t = q_ref.shape[0]
+    kp = w_ref.shape[0]
     cout = out_ref.shape[1]
     i = pl.program_id(0)
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _init():
-        wacc_ref[:] = jnp.zeros_like(wacc_ref)
-        oob_ref[:] = jnp.zeros_like(oob_ref)
-        _build_table(table_ref, s_lo_ref, s_hi_ref, x_lo_ref, x_hi_ref)
-
     start_row = starts_ref[i] * band
-    q = q_ref[:]
-    kp_pts = kp_ref[:]
-    _onehot, infl, xk, oob = _slot(
-        nb_ref, n_support, start_row, table_ref, q, kp_pts,
-        kp_extent, influence, mxu_dtype)
-    oob_ref[:] += oob
-    for p in range(kp):
-        wacc_ref[p] += infl[:, p:p + 1] * xk
 
-    @pl.when(k == k_width - 1)
-    def _emit():
-        acc = jnp.zeros((q.shape[0], cout), jnp.float32)
+    q = q_ref[:]
+    nb = nb_ref[:]
+    oob_ref[:] = _oob_count(nb, start_row, n_support, 2 * band)
+
+    acc = jnp.zeros((t, cout), jnp.float32)
+    for half, (s_ref, x_ref) in enumerate(((s_lo_ref, x_lo_ref),
+                                           (s_hi_ref, x_hi_ref))):
+        rel, d2 = _half_geometry(q, s_ref[:])
+        m_half = _membership_half(nb, start_row + half * band, band, t)
+        x_half = x_ref[:].astype(mxu_dtype)
         for p in range(kp):
-            acc += jnp.dot(wacc_ref[p].astype(mxu_dtype), w_ref[p],
+            a = _banded_a(rel, d2, m_half, kp_ref, p, kp_extent,
+                          influence).astype(mxu_dtype)
+            y = jnp.dot(a, x_half, preferred_element_type=jnp.float32)
+            acc += jnp.dot(y.astype(mxu_dtype), w_ref[p],
                            preferred_element_type=jnp.float32)
-        out_ref[:] = acc
+    out_ref[:] = acc
 
 
 def _bwd_kernel(starts_ref, q_ref, nb_ref, s_lo_ref, s_hi_ref,
                 x_lo_ref, x_hi_ref, kp_ref, w_ref, g_ref,
-                dx_ref, dw_ref, wacc_ref, table_ref, dr_ref, dxband_ref,
+                dx_ref, dw_ref,
                 *, kp_extent: float, influence: str, n_support: int,
-                mxu_dtype, k_width: int, band: int, n_tiles: int):
-    kp = kp_ref.shape[0]
-    i = pl.program_id(0)
-    k = pl.program_id(1)
-    width = 2 * band
+                mxu_dtype, band: int, n_tiles: int):
+    """Fused backward: one A_p build serves both dX and dW.
 
-    @pl.when((i % n_tiles == 0) & (k == 0))
+    Resident state (dX slab + full dW + feature bands) exceeds the
+    default 16 MB scoped-VMEM limit at the widest shapes; the raised
+    `_COMPILER_PARAMS` limit (v5e has 128 MB) makes the single-pass
+    layout — which halves the geometry/membership recompute versus
+    separate dX and dW kernels — the cheaper choice.
+    """
+    t = q_ref.shape[0]
+    kp = w_ref.shape[0]
+    i = pl.program_id(0)
+    start_row = starts_ref[i] * band
+
+    @pl.when(i % n_tiles == 0)
     def _init_dx():
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
-    @pl.when((i == 0) & (k == 0))
+    @pl.when(i == 0)
     def _init_dw():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    g = g_ref[:]                                              # [T, Cout]
-
-    @pl.when(k == 0)
-    def _init_tile():
-        wacc_ref[:] = jnp.zeros_like(wacc_ref)
-        dxband_ref[:] = jnp.zeros_like(dxband_ref)
-        _build_table(table_ref, s_lo_ref, s_hi_ref, x_lo_ref, x_hi_ref)
-        for p in range(kp):
-            dr_ref[p] = jnp.dot(g.astype(mxu_dtype), w_ref[p].T,
-                                preferred_element_type=jnp.float32)
-
-    start_row = starts_ref[i] * band
     q = q_ref[:]
-    kp_pts = kp_ref[:]
-    onehot, infl, xk, _oob = _slot(
-        nb_ref, n_support, start_row, table_ref, q, kp_pts,
-        kp_extent, influence, mxu_dtype)
+    g = g_ref[:]
+    gm = g.astype(mxu_dtype)
+    nb = nb_ref[:]
 
-    dxk = jnp.zeros((q.shape[0], dr_ref.shape[2]), jnp.float32)
-    for p in range(kp):
-        wacc_ref[p] += infl[:, p:p + 1] * xk
-        dxk += infl[:, p:p + 1] * dr_ref[p]
-    dxband_ref[:] += jnp.dot(onehot.T, dxk.astype(mxu_dtype),
-                             preferred_element_type=jnp.float32)
-
-    @pl.when(k == k_width - 1)
-    def _emit():
-        dx_ref[pl.ds(start_row, width), :] += dxband_ref[:]
+    for half, (s_ref, x_ref) in enumerate(((s_lo_ref, x_lo_ref),
+                                           (s_hi_ref, x_hi_ref))):
+        rel, d2 = _half_geometry(q, s_ref[:])
+        m_half = _membership_half(nb, start_row + half * band, band, t)
+        x_half = x_ref[:].astype(mxu_dtype)
+        sl = pl.ds(start_row + half * band, band)
         for p in range(kp):
-            dw_ref[p] += jnp.dot(wacc_ref[p].T.astype(mxu_dtype),
-                                 g.astype(mxu_dtype),
+            a = _banded_a(rel, d2, m_half, kp_ref, p, kp_extent,
+                          influence).astype(mxu_dtype)
+            dr = jnp.dot(gm, w_ref[p].T,
+                         preferred_element_type=jnp.float32)   # [T, Cin]
+            dx_ref[sl, :] += jnp.dot(a.T, dr.astype(mxu_dtype),
+                                     preferred_element_type=jnp.float32)
+            y = jnp.dot(a, x_half, preferred_element_type=jnp.float32)
+            dw_ref[p] += jnp.dot(y.T.astype(mxu_dtype), gm,
                                  preferred_element_type=jnp.float32)
 
 
 def _prep(q_pts, s_pts, neighb_inds, x, band, tile):
-    """Pad and compute per-tile band-block starts. Returns flat 2-D views
-    with the neighbor matrix transposed k-major ((T, 1) column blocks)."""
+    """Pad to tile/band multiples; per-tile band-block starts."""
     b, nq = q_pts.shape[:2]
     ns, cin = x.shape[1:]
 
     pad_q = (-nq) % tile
     n_tiles = (nq + pad_q) // tile
-    # Support rows padded to a multiple of `band`, at least 2 blocks.
     ns_pad = max(2 * band, ((ns + band - 1) // band) * band)
     n_blocks = ns_pad // band
 
@@ -213,8 +226,6 @@ def _prep(q_pts, s_pts, neighb_inds, x, band, tile):
                     constant_values=1e6)
     x_pad = jnp.pad(x, ((0, 0), (0, ns_pad - ns), (0, 0)))
 
-    # Band start per tile: min valid neighbor index, in `band`-block units,
-    # clamped so blocks s and s+1 both exist.
     big = jnp.int32(2 * ns_pad)
     masked = jnp.where(nb < ns, nb, big)                      # [B, Nq', K]
     tile_min = jnp.min(masked.reshape(b, n_tiles, -1), axis=2)
@@ -222,49 +233,41 @@ def _prep(q_pts, s_pts, neighb_inds, x, band, tile):
     starts = jnp.where(tile_min >= big, 0, starts).astype(jnp.int32)
 
     q2 = q_pad.reshape(b * (nq + pad_q), 3)
-    # k-major neighbor columns: row k*B*n_tiles*T + i*T + t
-    nbt = jnp.transpose(nb, (2, 0, 1)).reshape(-1, 1)
+    nb2 = nb.reshape(b * (nq + pad_q), -1)
     s2 = s_pad.reshape(b * ns_pad, 3)
     x2 = x_pad.reshape(b * ns_pad, cin)
     starts2 = starts.reshape(-1)
-    return q2, nbt, s2, x2, starts2, n_tiles, ns_pad, n_blocks, pad_q
+    return q2, nb2, s2, x2, starts2, n_tiles, ns_pad, n_blocks, pad_q
 
 
-def _in_specs(tile, band, cin, kp, cout, n_tiles, n_blocks, row_blocks):
-    """Input BlockSpecs shared by forward and backward.
+def _geom_specs(tile, k_width, band, n_tiles, n_blocks):
+    """BlockSpecs for (q, nb, s_lo, s_hi): shared by all three kernels."""
+    def band_lo(i, st):
+        return ((i // n_tiles) * n_blocks + st[i], 0)
 
-    Index maps receive (i, k, starts_ref); support/feature bands select
-    their sphere's slab (i // n_tiles spheres x n_blocks blocks) plus the
-    prefetched band block — invariant in k, so they are DMA'd per tile.
-    """
-    def band_lo(i, k, starts):
-        return ((i // n_tiles) * n_blocks + starts[i], 0)
-
-    def band_hi(i, k, starts):
-        return ((i // n_tiles) * n_blocks + starts[i] + 1, 0)
+    def band_hi(i, st):
+        return ((i // n_tiles) * n_blocks + st[i] + 1, 0)
 
     return [
-        pl.BlockSpec((tile, 3), lambda i, k, st: (i, 0),
-                     memory_space=pltpu.VMEM),                 # q
-        pl.BlockSpec((tile, 1),
-                     lambda i, k, st, rb=row_blocks: (k * rb + i, 0),
-                     memory_space=pltpu.VMEM),                 # nb column
+        pl.BlockSpec((tile, 3), lambda i, st: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, k_width), lambda i, st: (i, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((band, 3), band_lo, memory_space=pltpu.VMEM),
         pl.BlockSpec((band, 3), band_hi, memory_space=pltpu.VMEM),
-        pl.BlockSpec((band, cin), band_lo, memory_space=pltpu.VMEM),
-        pl.BlockSpec((band, cin), band_hi, memory_space=pltpu.VMEM),
-        pl.BlockSpec((kp, 3), lambda i, k, st: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((kp, cin, cout), lambda i, k, st: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    ], band_lo, band_hi
+
+
+def _kp_spec(kp):
+    # Kernel points ride SMEM: the kernel reads them as scalars.
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def kpconv_banded_pallas(q_pts, s_pts, neighb_inds, x, kernel_points,
                          weights, kp_extent: float, influence: str,
                          band: int, tile: int, interpret: bool):
-    """Banded fused rigid KPConv over a dense sphere batch.
+    """Gatherless banded rigid KPConv over a dense sphere batch.
 
     :param q_pts: [B, Nq, 3]; s_pts: [B, Ns, 3] (spatially sorted for
         narrow bands; correct regardless when oob == 0)
@@ -289,28 +292,33 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
     kernel_points = kernel_points.astype(jnp.float32)
     mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    q2, nbt, s2, x2, starts, n_tiles, ns_pad, n_blocks, pad_q = _prep(
+    q2, nb2, s2, x2, starts, n_tiles, ns_pad, n_blocks, pad_q = _prep(
         q_pts, s_pts, neighb_inds, x, band, tile)
+    # Features ride HBM->VMEM in the MXU dtype: halves the band blocks'
+    # footprint (the widest shapes otherwise exceed the 16 MB budget)
+    x2 = x2.astype(mxu_dtype)
     w3d = weights.astype(mxu_dtype)
-    row_blocks = b * n_tiles
 
+    geom, band_lo, band_hi = _geom_specs(tile, k_width, band, n_tiles,
+                                         n_blocks)
     kernel = functools.partial(
         _fwd_kernel, kp_extent=kp_extent, influence=influence,
-        n_support=ns, mxu_dtype=mxu_dtype, k_width=k_width, band=band)
+        n_support=ns, mxu_dtype=mxu_dtype, band=band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(row_blocks, k_width),
-        in_specs=_in_specs(tile, band, cin, kp, cout, n_tiles, n_blocks,
-                           row_blocks),
-        out_specs=[
-            pl.BlockSpec((tile, cout), lambda i, k, st: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, k, st: (i, 0),
+        grid=(b * n_tiles,),
+        in_specs=geom + [
+            pl.BlockSpec((band, cin), band_lo, memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, cin), band_hi, memory_space=pltpu.VMEM),
+            _kp_spec(kp),
+            pl.BlockSpec((kp, cin, cout), lambda i, st: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((kp, tile, cin), jnp.float32),
-            pltpu.VMEM((2 * band, 6 + cin), mxu_dtype),
+        out_specs=[
+            pl.BlockSpec((tile, cout), lambda i, st: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, st: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
     out, oob = pl.pallas_call(
@@ -321,7 +329,8 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
             jax.ShapeDtypeStruct((b * (nq + pad_q), 1), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, q2, nbt, s2, s2, x2, x2, kernel_points, w3d)
+        compiler_params=_COMPILER_PARAMS,
+    )(starts, q2, nb2, s2, s2, x2, x2, kernel_points, w3d)
     out = out.reshape(b, nq + pad_q, cout)[:, :nq]
     oob = jnp.sum(oob.reshape(b, -1)[:, :nq], axis=1)
     res = (q_pts, s_pts, neighb_inds, x, kernel_points, weights)
@@ -345,48 +354,51 @@ def _bwd_rule(kp_extent, influence, band, tile, interpret, res, g):
     k_width = neighb_inds.shape[2]
     mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    q2, nbt, s2, x2, starts, n_tiles, ns_pad, n_blocks, pad_q = _prep(
+    q2, nb2, s2, x2, starts, n_tiles, ns_pad, n_blocks, pad_q = _prep(
         q_pts, s_pts, neighb_inds, x, band, tile)
+    x2 = x2.astype(mxu_dtype)
     g_pad = jnp.pad(g_out, ((0, 0), (0, pad_q), (0, 0)))
     g2 = g_pad.reshape(b * (nq + pad_q), cout)
     w3d = weights.astype(mxu_dtype)
-    row_blocks = b * n_tiles
 
-    in_specs = _in_specs(tile, band, cin, kp, cout, n_tiles, n_blocks,
-                         row_blocks)
-    in_specs.append(pl.BlockSpec((tile, cout), lambda i, k, st: (i, 0),
-                                 memory_space=pltpu.VMEM))    # g
+    geom, band_lo, band_hi = _geom_specs(tile, k_width, band, n_tiles,
+                                         n_blocks)
+    g_spec = pl.BlockSpec((tile, cout), lambda i, st: (i, 0),
+                          memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(
+    bwd_kernel = functools.partial(
         _bwd_kernel, kp_extent=kp_extent, influence=influence,
-        n_support=ns, mxu_dtype=mxu_dtype, k_width=k_width, band=band,
-        n_tiles=n_tiles)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(row_blocks, k_width),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((ns_pad, cin), lambda i, k, st: (i // n_tiles, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, cin, cout), lambda i, k, st: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((kp, tile, cin), jnp.float32),
-            pltpu.VMEM((2 * band, 6 + cin), mxu_dtype),
-            pltpu.VMEM((kp, tile, cin), jnp.float32),
-            pltpu.VMEM((2 * band, cin), jnp.float32),
-        ],
-    )
+        n_support=ns, mxu_dtype=mxu_dtype, band=band, n_tiles=n_tiles)
     dx, dw = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+        bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * n_tiles,),
+            in_specs=geom + [
+                pl.BlockSpec((band, cin), band_lo,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((band, cin), band_hi,
+                             memory_space=pltpu.VMEM),
+                _kp_spec(kp),
+                pl.BlockSpec((kp, cin, cout), lambda i, st: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                g_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((ns_pad, cin),
+                             lambda i, st: (i // n_tiles, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kp, cin, cout), lambda i, st: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b * ns_pad, cin), jnp.float32),
             jax.ShapeDtypeStruct((kp, cin, cout), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, q2, nbt, s2, s2, x2, x2, kernel_points, w3d, g2)
+        compiler_params=_COMPILER_PARAMS,
+    )(starts, q2, nb2, s2, s2, x2, x2, kernel_points, w3d, g2)
     dx = dx.reshape(b, ns_pad, cin)[:, :ns]
 
     zeros_q = jnp.zeros_like(q_pts)

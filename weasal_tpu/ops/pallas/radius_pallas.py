@@ -45,23 +45,32 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 128
 DEFAULT_BAND = 512
 
+# v5e has 128 MB of VMEM; the default 16 MB *scoped* limit rejects the
+# double-buffered output slabs of the widest convs. Raise it (leaving
+# headroom for Mosaic's own scratch).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def auto_band(radius: float, margin: float, nq: int, ns: int,
               in_radius: float, tile: int = DEFAULT_TILE,
-              safety: float = 1.5) -> int:
+              safety: float = 1.2) -> int:
     """Static band half-window W for a given search geometry.
 
     With x-major spatial order, the support rows reachable from one
-    `tile`-query block span (2*(r+margin) + tile_x_extent) * rows-per-
-    x-meter. Rows per x-meter across a radius-R disc is at most
-    2*N/(pi*R) (the widest strip); `safety` covers local density
-    fluctuation. The guaranteed window coverage is W+1 rows
-    (block-quantized start), so W = ceil128(safety * span). Oversized
-    W only costs bandwidth; undersized shows up in the overflow output.
+    `tile`-query block span the x-strip [x_lo - (r+m), x_hi + (r+m)].
+    For a radius-R disc with Ns points, a strip of width 2(r+m) holds
+    about density * 2(r+m) * mean-chord = Ns*(r+m)/R rows (mean chord
+    of a disc = pi*R/2); the tile's own queries map to ~tile * Ns/Nq
+    support rows. `margin` is the support order's sort slack (that
+    level's voxel size). Kernel cost scales linearly with W, so this
+    uses the *mean* strip population (validated against measured spans
+    at reference geometry) with a `safety` factor for density pockets —
+    undersized bands show up in the overflow/oob outputs, never
+    silently. Guaranteed window coverage is W+1 rows (block-quantized
+    start), so W = ceil128(safety * span).
     """
-    ppxm_s = 2.0 * ns / (math.pi * in_radius)
-    ppxm_q = 2.0 * nq / (math.pi * in_radius)
-    span = (2.0 * (radius + margin) + tile / max(ppxm_q, 1e-6)) * ppxm_s
+    span = (ns * (radius + margin) / in_radius
+            + tile * max(1.0, ns / max(nq, 1)))
     return max(256, int(math.ceil(safety * span / 128.0)) * 128)
 
 
@@ -188,6 +197,7 @@ def radius_search_banded(queries: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b * (nq + pad_q), max_count),
                                        jnp.int32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(starts2, q2, s2, s2)
     out = out.reshape(b, nq + pad_q, max_count)[:, :nq]
     out = jnp.where(q_mask[..., None], out, ns)

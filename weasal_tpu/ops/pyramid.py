@@ -26,6 +26,7 @@ from weasal_tpu.data.batch import PyramidBatch
 from weasal_tpu.data.batching import ShapePlan, layer_radii
 from weasal_tpu.ops.neighbors import radius_search_fixed
 from weasal_tpu.ops.subsample import grid_extent_cells, grid_subsample_fixed
+from weasal_tpu.utils.platform import resolve_pallas_flag
 
 
 def _plan_tuple(plan: ShapePlan):
@@ -98,7 +99,10 @@ def _build_pyramid(points0: jnp.ndarray,
 
         def search(lq, ls, r, k):
             nonlocal overflow
-            margin = dl0 * (2 ** max(lq, ls))
+            # Sort slack: only the SUPPORT side's key disorder matters
+            # (tile lo/hi come from actual query keys); that disorder is
+            # bounded by the support level's voxel size
+            margin = dl0 * (2 ** ls)
             w = band if band else auto_band(
                 float(r), float(margin), num_points[lq], num_points[ls],
                 in_radius)
@@ -150,8 +154,8 @@ def build_pyramid_device(points0: jnp.ndarray,
                           tuple(float(r) for r in pool_r),
                           tuple(float(r) for r in up_r),
                           float(config.in_radius), chunk,
-                          banded=bool(getattr(config, "use_pallas_search",
-                                              False)),
+                          banded=resolve_pallas_flag(
+                              getattr(config, "use_pallas_search", False)),
                           band=int(getattr(config, "pallas_band", 512)),
                           interpret=bool(getattr(config,
                                                  "pallas_interpret",

@@ -15,3 +15,19 @@ def apply_platform_env() -> None:
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+
+
+def resolve_pallas_flag(value) -> bool:
+    """Resolve a use_pallas_* config knob.
+
+    True/False are explicit. None / "auto" (the default) enables the
+    Pallas kernels exactly when the active backend is a real TPU — on CPU
+    the XLA paths run instead (the kernels only run there under
+    pallas_interpret, which tests set explicitly).
+    """
+    if isinstance(value, str) and value.lower() not in ("auto", ""):
+        return value.lower() in ("1", "true", "yes", "on")
+    if value is None or isinstance(value, str):
+        import jax
+        return jax.default_backend() == "tpu"
+    return bool(value)
