@@ -17,9 +17,10 @@ class XLAConfig(Config):
     in_radius = 4.0
     first_subsampling_dl = 0.5
     conv_radius = 2.5
+    # 2-level net: covers simple/resnetb/strided/upsample dispatch plus
+    # the MPRM heads without paying interpret-mode cost for a 3rd stage
     architecture = ["simple", "resnetb", "resnetb_strided", "resnetb",
-                    "resnetb_strided", "resnetb",
-                    "nearest_upsample", "nearest_upsample"]
+                    "nearest_upsample"]
     use_batch_norm = True
     batch_norm_momentum = 0.02
 
@@ -32,7 +33,7 @@ class PallasConfig(XLAConfig):
 def test_model_forward_matches_xla_path():
     cfg_x = XLAConfig()
     cfg_p = PallasConfig()
-    batch, plan = demo_batch(cfg_x, batch_size=2, seed=0, density=6.0)
+    batch, plan = demo_batch(cfg_x, batch_size=1, seed=0, density=5.0)
 
     model_x = KPFCNN_mprm(cfg_x, tuple(range(5)), ())
     model_p = KPFCNN_mprm(cfg_p, tuple(range(5)), ())

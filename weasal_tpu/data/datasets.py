@@ -515,17 +515,27 @@ class CloudSegmentationDataset:
         albs = self.anchor_lbs[cloud_ind]
         a_inds = tree.query_radius(
             center, r=cfg.in_radius - cfg.sub_radius - 0.01)[0]
+        if len(a_inds) == 0:
+            return []
 
-        ii_sorted = np.argsort(input_inds)
-        sorted_inds = input_inds[ii_sorted]
+        # One cloud-sized remap built per sphere (cached buffer) replaces a
+        # per-region np.isin + searchsorted: regions then resolve in O(|r|).
+        # Was ~40% of host batch time at reference geometry.
+        n_cloud = self.input_labels[cloud_ind].shape[0]
+        buf = getattr(self, "_region_remap", None)
+        if buf is None or buf.shape[0] < n_cloud:
+            buf = np.full(max(n_cloud, 1), -1, np.int64)
+            self._region_remap = buf
+        buf[input_inds] = np.arange(input_inds.shape[0])
         regions = []
         for aa in a_inds:
             idx_r = adict[aa][0][0]
-            member = idx_r[np.isin(idx_r, input_inds)]
-            if member.size == 0:
+            pos = buf[idx_r]
+            pos = pos[pos >= 0]
+            if pos.size == 0:
                 continue
-            pos = ii_sorted[np.searchsorted(sorted_inds, member)]
             regions.append((pos, albs[aa].astype(np.float32)))
+        buf[input_inds] = -1                   # restore for the next sphere
         return regions
 
     def next_batch(self, rng, plan: ShapePlan,

@@ -39,6 +39,13 @@ peak VMEM stays within budget even at the widest shipped shapes
 (Cin 512, W 1536). The backward runs as two kernels (dX without x,
 dW without W) for the same reason.
 
+Precision: membership, geometry, influence and all accumulation are
+f32; matmul INPUTS are bf16 on hardware. This matches the XLA conv
+path under either compute_dtype setting — the platform compiles with
+--xla_allow_excess_precision, which executes default-precision f32
+matmuls at bf16 granularity anyway (measured: XLA-vs-Pallas logits
+agree to ~5e-3, the platform's bf16 matmul noise floor).
+
 Reference op chain: models/blocks.py:238-374 (rigid sum aggregation).
 """
 
