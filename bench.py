@@ -82,6 +82,7 @@ def build_bench_problem(geometry: str = "vaihingen"):
         model_name = "KPFCNN_mprm"
         loss_type = "region_mprm_loss"
         compute_dtype = "bfloat16"   # bf16 MXU inputs, f32 accumulation
+        device_pyramid = True        # fused path: spatially sorted levels
         # Pallas paths (env-overridable for A/B comparison; default
         # "auto" = on for real TPU backends)
         use_pallas_search = os.environ.get("WEASAL_BENCH_SEARCH", "auto")

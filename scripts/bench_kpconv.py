@@ -25,8 +25,8 @@ def time_scan(step_fn, x0, geom, inner, steps):
     """Time scan(step_fn) over `inner` iterations, `steps` repeats.
 
     `geom` (points/neighbors/weights) rides as jit ARGUMENTS: on this
-    platform, large closure-captured constants are miscompiled (documented
-    in kpconv_pallas.py round 1), silently zeroing the XLA conv.
+    platform, large closure-captured constants are miscompiled (round-1
+    discovery), silently zeroing the XLA conv.
     """
     @jax.jit
     def scanned(x, *geom):
@@ -48,7 +48,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--inner", type=int, default=20)
-    ap.add_argument("--paths", default="xla,banded")
+    ap.add_argument("--paths", default="xla,banded",
+                help="comma list of: xla, banded")
     ap.add_argument("--band", type=int, default=512)
     ap.add_argument("--layers", default="")
     args = ap.parse_args()
@@ -126,8 +127,7 @@ def main():
         for path in args.paths.split(","):
             params = KPConvParams(
                 kp_extent=float(extent), influence="linear",
-                aggregation="sum", compute_dtype="bfloat16",
-                use_pallas=(path == "pallas"))
+                aggregation="sum", compute_dtype="bfloat16")
 
             if path == "banded":
                 def conv(xc, q, s, nbi, kpt, wt):

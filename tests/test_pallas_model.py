@@ -17,10 +17,12 @@ class XLAConfig(Config):
     in_radius = 4.0
     first_subsampling_dl = 0.5
     conv_radius = 2.5
-    # 2-level net: covers simple/resnetb/strided/upsample dispatch plus
-    # the MPRM heads without paying interpret-mode cost for a 3rd stage
+    # 3 levels (two strided pools + two upsamples): covers multi-level
+    # band auto-sizing and cross-level (nq != ns) windowing; the single
+    # small sphere keeps interpret-mode cost down
     architecture = ["simple", "resnetb", "resnetb_strided", "resnetb",
-                    "nearest_upsample"]
+                    "resnetb_strided", "resnetb",
+                    "nearest_upsample", "nearest_upsample"]
     use_batch_norm = True
     batch_norm_momentum = 0.02
 

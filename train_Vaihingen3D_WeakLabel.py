@@ -99,6 +99,10 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
     parser.add_argument("saving_path", nargs="?", default=None)
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--epoch_schedule", default=None,
+                        help="comma list of epochs per AL iteration, e.g. "
+                             "'80,15,15' (last value repeats); overrides "
+                             "--max_epoch per iteration")
     parser.add_argument("--epoch_steps", type=int, default=None)
     parser.add_argument("--validation_size", type=int, default=None)
     parser.add_argument("--al_iterations", type=int, default=None)
@@ -153,9 +157,15 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
         config.active_learning_iterations = args.al_iterations
         config.subsample_labels = args.al_iterations > 0
 
+    schedule = None
+    if args.epoch_schedule:
+        schedule = [int(v) for v in args.epoch_schedule.split(",")]
+
     for iteration in range(iteration_previous,
                            config.active_learning_iterations + 1):
         print(f"\n=== Active-learning iteration {iteration} ===\n")
+        if schedule:
+            config.max_epoch = schedule[min(iteration, len(schedule) - 1)]
         train_ds = dataset_cls(config, split="training",
                                al_iteration=iteration,
                                data_root=args.data_root)

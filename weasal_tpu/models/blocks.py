@@ -268,7 +268,8 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
         pose_seed=seed & 0x7FFFFFFF,
         compute_dtype=getattr(cfg, "compute_dtype", "float32"),
         use_pallas=resolve_pallas_flag(
-            getattr(cfg, "use_pallas_kpconv", False)),
+            getattr(cfg, "use_pallas_kpconv", False),
+            auto_requires=bool(getattr(cfg, "device_pyramid", False))),
         pallas_interpret=bool(getattr(cfg, "pallas_interpret", False)),
         pallas_band=int(getattr(cfg, "pallas_band", 0)),
         in_radius=float(getattr(cfg, "in_radius", 0.0)),

@@ -24,9 +24,10 @@ reference. Deformable kernels additionally mask neighbors outside every
 deformed kernel point's extent (reference's topk re-pruning is a memory
 optimization only; with static shapes masking is free).
 
-A Pallas fused kernel for the gather+influence+GEMM chain lives in
-weasal_tpu.ops.pallas.kpconv_pallas and is used when enabled; this module is
-the XLA reference path and the source of truth for semantics.
+The gatherless banded Pallas kernel (weasal_tpu.ops.pallas.kpconv_banded)
+handles rigid sum-aggregation convs on TPU; this module is the XLA
+reference path (deformable / closest-aggregation / CPU) and the source of
+truth for semantics.
 """
 
 from __future__ import annotations
@@ -75,9 +76,10 @@ def _pallas_band(params: "KPConvParams", nq: int, ns: int) -> int:
     if params.radius > 0 and params.in_radius > 0:
         from weasal_tpu.ops.pallas.radius_pallas import auto_band
         # sort_margin = the support level's voxel size (only support-side
-        # key disorder matters; query tiles use their actual extents)
-        return auto_band(params.radius, params.sort_margin,
-                         nq, ns, params.in_radius)
+        # key disorder matters). Level 0 is sorted at extent/256
+        # (~2.2*in_radius/256), which can exceed dl0 for deep configs.
+        margin = max(params.sort_margin, 2.5 * params.in_radius / 256.0)
+        return auto_band(params.radius, margin, nq, ns, params.in_radius)
     return 0
 
 

@@ -45,15 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 128
 DEFAULT_BAND = 512
 
-# v5e has 128 MB of VMEM; the default 16 MB *scoped* limit rejects the
-# double-buffered output slabs of the widest convs. Raise it (leaving
-# headroom for Mosaic's own scratch).
+# v5e has 128 MB of VMEM; the default 16 MB *scoped* limit rejects wide
+# double-buffered band windows at coarse levels. Raise it (headroom left
+# for Mosaic's own scratch).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def auto_band(radius: float, margin: float, nq: int, ns: int,
               in_radius: float, tile: int = DEFAULT_TILE,
-              safety: float = 1.2) -> int:
+              safety: float = 1.35) -> int:
     """Static band half-window W for a given search geometry.
 
     With x-major spatial order, the support rows reachable from one
@@ -71,7 +71,10 @@ def auto_band(radius: float, margin: float, nq: int, ns: int,
     """
     span = (ns * (radius + margin) / in_radius
             + tile * max(1.0, ns / max(nq, 1)))
-    return max(256, int(math.ceil(safety * span / 128.0)) * 128)
+    # +64 absolute headroom: density pockets in clustered scenes push the
+    # tail past the mean-chord estimate (measured ~0.05% drops at
+    # safety=1.2 on 133k-pt synthetic tiles; counted, but avoidable)
+    return max(256, int(math.ceil((safety * span + 64) / 128.0)) * 128)
 
 
 def _search_kernel(starts_ref, q_ref, s_lo_ref, s_hi_ref, out_ref,

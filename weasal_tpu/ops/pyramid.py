@@ -101,8 +101,12 @@ def _build_pyramid(points0: jnp.ndarray,
             nonlocal overflow
             # Sort slack: only the SUPPORT side's key disorder matters
             # (tile lo/hi come from actual query keys); that disorder is
-            # bounded by the support level's voxel size
+            # bounded by the support level's voxel size. Level 0 is sorted
+            # by assemble_level0 at extent/256 (~2.2*in_radius/256), which
+            # can exceed dl0 for deep configs — take the larger bound.
             margin = dl0 * (2 ** ls)
+            if ls == 0:
+                margin = max(margin, 2.5 * in_radius / 256.0)
             w = band if band else auto_band(
                 float(r), float(margin), num_points[lq], num_points[ls],
                 in_radius)
@@ -156,7 +160,7 @@ def build_pyramid_device(points0: jnp.ndarray,
                           float(config.in_radius), chunk,
                           banded=resolve_pallas_flag(
                               getattr(config, "use_pallas_search", False)),
-                          band=int(getattr(config, "pallas_band", 512)),
+                          band=int(getattr(config, "pallas_band", 0)),
                           interpret=bool(getattr(config,
                                                  "pallas_interpret",
                                                  False)))

@@ -243,9 +243,15 @@ class ModelTrainer:
                              "batch_stats": state.batch_stats}
                 out, mutated = model.apply(
                     variables, batch, train=True,
-                    mutable=["batch_stats", "deform"],
+                    mutable=["batch_stats", "deform", "telemetry"],
                     rngs={"dropout": dropout_rng,
                           "contrast": dropout_rng})
+                # Banded-kernel out-of-band drop counts (0 on healthy
+                # runs); surfaced per epoch next to plan saturation
+                tel = jax.tree_util.tree_leaves(
+                    mutated.get("telemetry", {}))
+                oob = (sum(jnp.sum(t) for t in tel) if tel
+                       else jnp.zeros((), jnp.float32))
                 deform_aux = mutated.get("deform", {})
                 reg_loss = 0.0
                 if deform_aux:
@@ -288,10 +294,15 @@ class ModelTrainer:
                 acc = losses.accuracy(logits, targets, batch.masks[0])
                 total = out_loss + reg_loss
                 new_bs = mutated.get("batch_stats", state.batch_stats)
-                return total, (new_bs, out_loss, reg_loss, acc)
+                return total, (new_bs, out_loss, reg_loss, acc, oob)
 
-            grads, (new_bs, out_loss, reg_loss, acc) = jax.grad(
+            grads, (new_bs, out_loss, reg_loss, acc, oob) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
+            # Dropped-neighbor telemetry: kernel oob + radius-search
+            # window overflow (device-pyramid path); 0 when healthy
+            drops = oob
+            if device_pyramid and batch.search_overflow is not None:
+                drops = drops + jnp.sum(batch.search_overflow)
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
@@ -299,7 +310,7 @@ class ModelTrainer:
             new_state = state.replace(params=new_params,
                                       batch_stats=new_bs,
                                       opt_state=new_opt)
-            return new_state, out_loss, reg_loss, acc
+            return new_state, out_loss, reg_loss, acc, drops
 
         return train_step
 
@@ -430,6 +441,7 @@ class ModelTrainer:
         t0 = time.time()
         last_display = time.time()
         pending = []
+        drops_pending = []
         while self.epoch < config.max_epoch:
             self.step = 0
             prefetcher = BatchPrefetcher(batch_source, self.plan,
@@ -449,9 +461,11 @@ class ModelTrainer:
                 use_contrast = (self.mode == "pseudo"
                                 and self.epoch >= getattr(
                                     config, "contrast_start", 1 << 30))
-                self.state, out_loss, reg_loss, acc = self._train_step(
+                (self.state, out_loss, reg_loss, acc,
+                 drops) = self._train_step(
                     self.state, batch, jnp.float32(self.lr), sub,
                     use_contrast=use_contrast)
+                drops_pending.append(drops)
 
                 # Buffer device scalars; synchronous per-step reads would
                 # serialize the async dispatch queue (very costly through a
@@ -477,6 +491,14 @@ class ModelTrainer:
 
             # Shape-plan saturation audit: silent caps (level/neighbor/
             # region truncation) become visible in the training log
+            epoch_drops = float(np.sum([np.asarray(d)
+                                        for d in drops_pending])) \
+                if drops_pending else 0.0
+            drops_pending = []
+            if epoch_drops > 0:
+                print(f"[pallas-telemetry] {int(epoch_drops)} neighbors "
+                      "dropped out-of-band this epoch — spatial sort or "
+                      "band sizing violated (auto_band undersized?)")
             try:
                 from weasal_tpu.data.telemetry import (
                     audit_plan_saturation, format_saturation_line)
@@ -486,9 +508,12 @@ class ModelTrainer:
                 for warning in report["warnings"]:
                     print(f"[plan-saturation] {warning}")
                 if config.saving:
+                    line = format_saturation_line(self.epoch, report)
+                    line = (line.rstrip("\n")
+                            + f" kernel_drops {int(epoch_drops)}\n")
                     with open(join(config.saving_path,
                                    "plan_saturation.txt"), "a") as f:
-                        f.write(format_saturation_line(self.epoch, report))
+                        f.write(line)
             except Exception as exc:  # audit must never kill training
                 print(f"[plan-saturation] audit skipped: {exc}")
 

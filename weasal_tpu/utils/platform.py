@@ -17,17 +17,22 @@ def apply_platform_env() -> None:
         jax.config.update("jax_platforms", platform)
 
 
-def resolve_pallas_flag(value) -> bool:
+def resolve_pallas_flag(value, auto_requires: bool = True) -> bool:
     """Resolve a use_pallas_* config knob.
 
-    True/False are explicit. None / "auto" (the default) enables the
-    Pallas kernels exactly when the active backend is a real TPU — on CPU
-    the XLA paths run instead (the kernels only run there under
-    pallas_interpret, which tests set explicitly).
+    True/False are explicit (callers who force True own the sorted-input
+    precondition — tests do this with pallas_interpret). None / "auto"
+    (the default) enables the Pallas kernels exactly when the active
+    backend is a real TPU AND `auto_requires` holds — the banded KPConv
+    passes `config.device_pyramid` here, because only the device-pyramid
+    path guarantees the spatially sorted levels the banding needs; the
+    host-pyramid path stays on the XLA kernels.
     """
     if isinstance(value, str) and value.lower() not in ("auto", ""):
         return value.lower() in ("1", "true", "yes", "on")
     if value is None or isinstance(value, str):
+        if not auto_requires:
+            return False
         import jax
         return jax.default_backend() == "tpu"
     return bool(value)
