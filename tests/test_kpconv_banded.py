@@ -88,6 +88,34 @@ class TestBandedKPConv:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_single_half_skip_path(self):
+        """Tiles whose neighbors fit the first W block take the skipped
+        second-half branch; result must equal the XLA conv exactly."""
+        rng = np.random.default_rng(11)
+        q, s, nb, x, kpts, w = _problem(rng, b=1, n_q=128, n_s=512, k=6)
+        nb = jnp.asarray(np.asarray(nb) % 100)   # all in rows [0, 100)
+        params = KPConvParams(kp_extent=0.7)
+        expected, _ = kpconv(q, s, nb, x, kpts, w, params)
+        got, oob = kpconv_banded_pallas(q, s, nb, x, kpts, w, 0.7,
+                                        "linear", 128, 128, True)
+        assert float(oob[0]) == 0.0
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=2e-4, atol=2e-4)
+
+        def loss(x, w):
+            return jnp.sum(kpconv_banded_pallas(
+                q, s, nb, x, kpts, w, 0.7, "linear", 128, 128, True)[0]
+                ** 2)
+
+        def loss_ref(x, w):
+            return jnp.sum(kpconv(q, s, nb, x, kpts, w, params)[0] ** 2)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        gb = jax.grad(loss, argnums=(0, 1))(x, w)
+        for a, b_ in zip(gr, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-3)
+
     def test_wide_channels_grouped_dw(self):
         """Cin=512/Cout=256 forces the dW kernel onto >1 kernel-point
         group; numerics and both grads must still match the XLA path."""

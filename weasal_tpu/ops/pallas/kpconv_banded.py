@@ -81,6 +81,14 @@ def _membership_half(nb, half_start, band, t):
     return m
 
 
+def _hi_half_needed(nb, start_row, n_support, band):
+    """Scalar: does any valid neighbor of this tile fall in the upper
+    band half [start+W, start+2W)? (Out-of-band rows don't matter — they
+    are dropped either way and counted by _oob_count.)"""
+    valid_max = jnp.max(jnp.where(nb < n_support, nb, -1))
+    return valid_max - start_row >= band
+
+
 def _oob_count(nb, start_row, n_support, width):
     """[T, 1] count of valid neighbors outside the window (scalar-cheap:
     no [T, width] tensors involved)."""
@@ -152,19 +160,27 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, s_lo_ref, s_hi_ref,
     nb = nb_ref[:]
     oob_ref[:] = _oob_count(nb, start_row, n_support, 2 * band)
 
-    acc = jnp.zeros((t, cout), jnp.float32)
-    for half, (s_ref, x_ref) in enumerate(((s_lo_ref, x_lo_ref),
-                                           (s_hi_ref, x_hi_ref))):
+    def half_contrib(s_ref, x_ref, half_start):
         rel, d2 = _half_geometry(q, s_ref[:])
-        m_half = _membership_half(nb, start_row + half * band, band, t)
+        m_half = _membership_half(nb, half_start, band, t)
         x_half = x_ref[:].astype(mxu_dtype)
+        acc = jnp.zeros((t, cout), jnp.float32)
         for p in range(kp):
             a = _banded_a(rel, d2, m_half, kp_ref, p, kp_extent,
                           influence).astype(mxu_dtype)
             y = jnp.dot(a, x_half, preferred_element_type=jnp.float32)
             acc += jnp.dot(y.astype(mxu_dtype), w_ref[p],
                            preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+        return acc
+
+    out_ref[:] = half_contrib(s_lo_ref, x_lo_ref, start_row)
+
+    # Second half only when some neighbor actually lands there: a skipped
+    # half's membership would be all-zero, so skipping is exact. With
+    # auto-sized bands most spans fit one W block, halving the work.
+    @pl.when(_hi_half_needed(nb, start_row, n_support, band))
+    def _hi():
+        out_ref[:] += half_contrib(s_hi_ref, x_hi_ref, start_row + band)
 
 
 def _bwd_kernel(starts_ref, q_ref, nb_ref, s_lo_ref, s_hi_ref,
@@ -198,12 +214,11 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, s_lo_ref, s_hi_ref,
     gm = g.astype(mxu_dtype)
     nb = nb_ref[:]
 
-    for half, (s_ref, x_ref) in enumerate(((s_lo_ref, x_lo_ref),
-                                           (s_hi_ref, x_hi_ref))):
+    def half_grads(s_ref, x_ref, half_start):
         rel, d2 = _half_geometry(q, s_ref[:])
-        m_half = _membership_half(nb, start_row + half * band, band, t)
+        m_half = _membership_half(nb, half_start, band, t)
         x_half = x_ref[:].astype(mxu_dtype)
-        sl = pl.ds(start_row + half * band, band)
+        sl = pl.ds(half_start, band)
         for p in range(kp):
             a = _banded_a(rel, d2, m_half, kp_ref, p, kp_extent,
                           influence).astype(mxu_dtype)
@@ -214,6 +229,12 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, s_lo_ref, s_hi_ref,
             y = jnp.dot(a, x_half, preferred_element_type=jnp.float32)
             dw_ref[p] += jnp.dot(y.T.astype(mxu_dtype), gm,
                                  preferred_element_type=jnp.float32)
+
+    half_grads(s_lo_ref, x_lo_ref, start_row)
+
+    @pl.when(_hi_half_needed(nb, start_row, n_support, band))
+    def _hi():
+        half_grads(s_hi_ref, x_hi_ref, start_row + band)
 
 
 def _prep(q_pts, s_pts, neighb_inds, x, band, tile):
