@@ -89,13 +89,20 @@ def gather_neighbors(values: jnp.ndarray,
     """Gather [B, Ns, D] rows by [B, Nq, K] sphere-local indices.
 
     Index Ns (the shadow) selects an appended constant `pad_value` row.
+
+    Implemented as ONE flat row gather with per-sphere index offsets: the
+    batched take_along_axis form lowers to a per-sphere dynamic-slice
+    loop on TPU (measured ms-scale per op at reference geometry), while
+    the flat gather lowers to a single fused gather.
     """
     b, ns, d = values.shape
     pad_row = jnp.full((b, 1, d), pad_value, dtype=values.dtype)
     padded = jnp.concatenate([values, pad_row], axis=1)     # [B, Ns+1, D]
-    return jnp.take_along_axis(
-        padded[:, :, None, :],                              # [B, Ns+1, 1, D]
-        inds[:, :, :, None].astype(jnp.int32), axis=1)      # -> [B, Nq, K, D]
+    flat = padded.reshape(b * (ns + 1), d)
+    offs = (jnp.arange(b, dtype=jnp.int32) * (ns + 1))[:, None, None]
+    idx = inds.astype(jnp.int32) + offs                     # [B, Nq, K]
+    out = jnp.take(flat, idx.reshape(-1), axis=0)
+    return out.reshape(b, inds.shape[1], inds.shape[2], d)
 
 
 def influence_weights(sq_distances: jnp.ndarray,
