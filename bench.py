@@ -328,17 +328,25 @@ def main():
 
     config, batch, _ = build_bench_problem("vaihingen")
     baseline = None
+    ref_baseline = None
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         try:
             with open(BASELINE_CACHE) as f:
                 cache = json.load(f)
                 baseline = cache.get("torch_cpu_points_per_sec_v2")
+                # Measured by scripts/run_reference_baseline.py: the
+                # reference's OWN pipeline (dataset+calibration+model+
+                # loss) on identical synthetic data, CPU
+                ref_baseline = cache.get(
+                    "reference_torch_cpu_points_per_sec")
         except Exception:
             baseline = None
     if baseline is None:
         baseline = bench_torch_cpu_baseline(config, batch)
+        cache["torch_cpu_points_per_sec_v2"] = baseline
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"torch_cpu_points_per_sec_v2": baseline}, f)
+            json.dump(cache, f)
 
     v = results["vaihingen"]
     d = results["dales"]
@@ -357,6 +365,8 @@ def main():
             "mfu": d["mfu"],
             "real_points": d["real_points"],
         },
+        "vs_reference_cpu": (round(v["points_per_sec"] / ref_baseline, 1)
+                             if ref_baseline else None),
         "timing": "device-time (profiler XLA Modules); wall-clock through "
                   "the TPU tunnel measures dispatch rate and is not used",
         "baseline": "torch-CPU KPConv chain at identical shapes "

@@ -312,3 +312,11 @@ def install_reference_shims() -> None:
 
     if not torch.cuda.is_available():
         torch.Tensor.cuda = lambda self, *a, **k: self
+
+    # torch>=2 removed Sampler.__init__(data_source); the reference's
+    # samplers (torch-1.4 era) still call it (Vaihingen3D_WeakLabel.py:887)
+    from torch.utils.data import Sampler
+    try:
+        Sampler.__init__(object.__new__(Sampler), None)  # probe signature
+    except TypeError:
+        Sampler.__init__ = lambda self, data_source=None: None
