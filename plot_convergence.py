@@ -36,6 +36,15 @@ def main(argv=None):
     if not logs:
         print("No logs found.")
         return
+    # Bare log names resolve under results/<stage>/ (reference
+    # plot_convergence.py uses the same results-relative convention)
+    resolved = []
+    for log in logs:
+        if not os.path.isdir(log) and args.stage:
+            candidate = os.path.join("results", args.stage, log)
+            log = candidate if os.path.isdir(candidate) else log
+        resolved.append(log)
+    logs = resolved
 
     os.makedirs(args.out_dir, exist_ok=True)
     print("Comparing logs:")
