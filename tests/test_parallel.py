@@ -107,7 +107,7 @@ def test_entry_script_data_parallel(tmp_path):
 
         run(DALESWLConfig, TinyDALESWL,
             argv=["results/WeakLabel/Log_dp", "--preset", "quick",
-                  "--fused", "--devices", "8",
+                  "--fused", "--devices", "4",
                   "--al_iterations", "0", "--epoch_steps", "2",
                   "--validation_size", "1", "--data_root", root])
         log = os.path.join("results/WeakLabel/Log_dp",
@@ -119,6 +119,6 @@ def test_entry_script_data_parallel(tmp_path):
         with open(os.path.join("results/WeakLabel/Log_dp",
                                "parameters.txt")) as f:
             params_txt = f.read()
-        assert "batch_num = 8" in params_txt
+        assert "batch_num = 4" in params_txt
     finally:
         os.chdir(cwd)
