@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from weasal_tpu.utils.convergence import (
     compare_active_learning, compare_convergences_segment, compare_trainings,

@@ -6,7 +6,6 @@ datasets/DALES_PseudoLabel.py): no color/intensity feature
 splits, same weak-label machinery as Vaihingen.
 """
 
-import os
 
 import numpy as np
 import pytest

@@ -2,9 +2,7 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import optax
-import pytest
 
 from weasal_tpu.config import Config
 from weasal_tpu.data.demo import demo_batch

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from weasal_tpu.config import Config
 from weasal_tpu.data.batching import (
-    ShapePlan, build_sphere_pyramid, calibrate_shape_plan)
+    ShapePlan, build_sphere_pyramid)
 from weasal_tpu.ops.pyramid import build_pyramid_device
 from weasal_tpu.ops.subsample import SHADOW_COORD
 

@@ -6,7 +6,6 @@ shadow-padding and distance-ordering semantics the network depends on.
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from weasal_tpu.ops.subsample import (
     SHADOW_COORD, batch_grid_subsample, grid_extent_cells, grid_subsample,

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from weasal_tpu.ops.kpconv import (
-    KPConvParams, SHADOW_COORD, closest_pool, global_average, kpconv,
+    KPConvParams, closest_pool, global_average, kpconv,
     max_pool)
 
 

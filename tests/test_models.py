@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from weasal_tpu.config import Config
 from weasal_tpu.data.batching import (

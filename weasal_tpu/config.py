@@ -17,7 +17,6 @@ import os
 from os.path import join
 from typing import Dict, List, Optional
 
-import numpy as np
 
 
 class bcolors:
