@@ -3,18 +3,20 @@
 Replaces the XLA `radius_search_fixed` path inside the device pyramid
 (weasal_tpu/ops/neighbors.py), whose `lax.top_k` lowers to a full variadic
 sort of every [chunk, Ns] distance tile — measured at ~80% of the whole
-fused train step at reference geometry (sorts + chunk loops ~480 ms of a
-~575 ms step; see scripts/profile_fused.py).
+fused train step at reference geometry (331 ms of device time; see
+scripts/profile_fused.py and STATUS.md).
 
 Design: supports arrive spatially sorted along one axis (voxel-linear
 order — grid_subsample_fixed emits it, assemble_level0 applies it to
 level 0), and a monotone sort key (the rotated-frame x coordinate) is
 provided for both sides. For each 128-query tile the wrapper computes the
 index window that can contain in-radius supports (count of sort keys
-below the tile's lower bound), quantized to two W-row blocks fetched via
-scalar-prefetched BlockSpec indices. The kernel then:
+below the tile's lower bound), quantized to `n_win` 128-row blocks
+fetched via scalar-prefetched BlockSpec indices (start quantized at 128
+rows, so the fetched window is span+256 — a two-W-block scheme wastes
+~2x). The kernel then:
 
-    d2[t, n] = |q_t - s_n|^2 over the 2W-row band   (per-axis f32 VPU —
+    d2[t, n] = |q_t - s_n|^2 over the window         (per-axis f32 VPU —
                no matmul, so no bf16-demotion precision trap, no HIGHEST
                multi-pass cost)
     d2 = inf where d2 > r^2
@@ -23,13 +25,13 @@ scalar-prefetched BlockSpec indices. The kernel then:
 which is exactly nanoflann's contract (cpp_wrappers/cpp_neighbors/
 neighbors.cpp:211-332): rows sorted by distance, ties by lowest index,
 shadow index = Ns for missing neighbors. No sort, no MXU — the whole
-search is VPU element-wise work on [T, 2W] tiles.
+search is VPU element-wise work.
 
-Coverage: a window of 2W rows starting at the block below the first
-candidate covers spans up to W+1 rows. Supports whose key lies inside the
-tile's [lo, hi] range but beyond the window are *counted* by the wrapper
-(`overflow` output) — with sorted inputs at reference geometry the spans
-are ~300-600 rows, so W=512 keeps overflow at 0.
+Coverage: `band` keeps its half-window meaning W — spans <= W+1 are
+always covered. Supports whose key lies inside the tile's [lo, hi] range
+but beyond the window are *counted* by the wrapper (`overflow` output, a
+conservative upper bound on missed candidates): undersized windows are
+visible, never silent.
 """
 
 from __future__ import annotations
@@ -44,10 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 128
 DEFAULT_BAND = 512
+QUANTUM = 128          # window block rows; start quantized at this
 
 # v5e has 128 MB of VMEM; the default 16 MB *scoped* limit rejects wide
-# double-buffered band windows at coarse levels. Raise it (headroom left
-# for Mosaic's own scratch).
+# windows at coarse levels. Raise it (headroom left for Mosaic's own
+# scratch).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
@@ -62,36 +65,40 @@ def auto_band(radius: float, margin: float, nq: int, ns: int,
     about density * 2(r+m) * mean-chord = Ns*(r+m)/R rows (mean chord
     of a disc = pi*R/2); the tile's own queries map to ~tile * Ns/Nq
     support rows. `margin` is the support order's sort slack (that
-    level's voxel size). Kernel cost scales linearly with W, so this
-    uses the *mean* strip population (validated against measured spans
-    at reference geometry) with a `safety` factor for density pockets —
-    undersized bands show up in the overflow/oob outputs, never
-    silently. Guaranteed window coverage is W+1 rows (block-quantized
-    start), so W = ceil128(safety * span).
+    level's voxel size). Kernel cost scales linearly with the window, so
+    this uses the *mean* strip population (validated against measured
+    spans at reference geometry) with a `safety` factor for density
+    pockets — undersized windows show up in the overflow/oob outputs,
+    never silently. The window guarantees coverage of spans <= W+1.
     """
     span = (ns * (radius + margin) / in_radius
             + tile * max(1.0, ns / max(nq, 1)))
     # +64 absolute headroom: density pockets in clustered scenes push the
-    # tail past the mean-chord estimate (measured ~0.05% drops at
-    # safety=1.2 on 133k-pt synthetic tiles; counted, but avoidable)
+    # tail past the mean-chord estimate (measured ~0.05% drops without it
+    # on 133k-pt synthetic tiles; counted, but avoidable)
     return max(256, int(math.ceil((safety * span + 64) / 128.0)) * 128)
 
 
-def _search_kernel(starts_ref, q_ref, s_lo_ref, s_hi_ref, out_ref,
-                   *, radius2: float, max_count: int, n_support: int,
-                   band: int):
+def _n_win(band: int) -> int:
+    """Window block count for half-window W (coverage spans <= W+1)."""
+    return -(-band // QUANTUM) + 1
+
+
+def _search_kernel(starts_ref, q_ref, *s_refs, out_ref,
+                   radius2: float, max_count: int, n_support: int,
+                   n_win: int):
     t = q_ref.shape[0]
-    width = 2 * band
+    width = n_win * QUANTUM
     i = pl.program_id(0)
-    start_row = starts_ref[i] * band
+    start_row = starts_ref[i] * QUANTUM
 
     q = q_ref[:]                                              # [T, 3]
-    s = jnp.concatenate([s_lo_ref[:], s_hi_ref[:]], axis=0)   # [2W, 3]
+    s = jnp.concatenate([r[:] for r in s_refs], axis=0)       # [win, 3]
 
     inf = jnp.float32(jnp.inf)
     d2 = jnp.zeros((t, width), jnp.float32)
     for d in range(3):
-        diff = q[:, d:d + 1] - s[:, d:d + 1].T                # [T, 2W]
+        diff = q[:, d:d + 1] - s[:, d:d + 1].T                # [T, win]
         d2 += diff * diff
     d2 = jnp.where(d2 > radius2, inf, d2)
 
@@ -130,6 +137,7 @@ def radius_search_banded(queries: jnp.ndarray,
     :param skey_q/skey_s: [B, N] monotone sort keys (rotated x coord)
     :param radius: search radius; margin: sort-key slack (voxel size)
     :param max_count: static row width K
+    :param band: half-window W — key spans <= W+1 rows always covered
     :return: (neighbors [B, Nq, K] int32 — distance-sorted, shadow = Ns;
         overflow [B] f32 — count of window rows that could not be covered;
         0 means the result equals the exact search)
@@ -137,11 +145,13 @@ def radius_search_banded(queries: jnp.ndarray,
     b, nq, _ = queries.shape
     ns = supports.shape[1]
     r = jnp.float32(radius)
+    n_win = _n_win(band)
 
     pad_q = (-nq) % tile
     n_tiles = (nq + pad_q) // tile
-    ns_pad = max(2 * band, ((ns + band - 1) // band) * band)
-    n_blocks = ns_pad // band
+    ns_pad = max(n_win * QUANTUM,
+                 ((ns + QUANTUM - 1) // QUANTUM) * QUANTUM)
+    n_blocks = ns_pad // QUANTUM
 
     inf = jnp.float32(jnp.inf)
     # Invalid entries: queries to +inf key (window selection only),
@@ -164,8 +174,9 @@ def radius_search_banded(queries: jnp.ndarray,
     # Window = [count(ks < lo), count(ks <= hi))
     below = jnp.sum((ks[:, None, :] < lo[:, :, None]), axis=2)
     until = jnp.sum((ks[:, None, :] <= hi[:, :, None]), axis=2)
-    starts = jnp.clip(below // band, 0, n_blocks - 2).astype(jnp.int32)
-    covered_end = (starts + 2) * band
+    starts = jnp.clip(below // QUANTUM, 0,
+                      n_blocks - n_win).astype(jnp.int32)
+    covered_end = (starts + n_win) * QUANTUM
     overflow = jnp.sum(jnp.maximum(until - covered_end, 0)
                        * (hi >= lo), axis=1).astype(jnp.float32)
 
@@ -173,24 +184,22 @@ def radius_search_banded(queries: jnp.ndarray,
     s2 = s_pad.reshape(b * ns_pad, 3)
     starts2 = starts.reshape(-1)
 
-    def band_lo(i, st):
-        return ((i // n_tiles) * n_blocks + st[i], 0)
+    def block_map(j):
+        return lambda i, st: ((i // n_tiles) * n_blocks + st[i] + j, 0)
 
-    def band_hi(i, st):
-        return ((i // n_tiles) * n_blocks + st[i] + 1, 0)
+    def kernel(starts_ref, q_ref, *s_refs_and_out):
+        _search_kernel(starts_ref, q_ref, *s_refs_and_out[:-1],
+                       out_ref=s_refs_and_out[-1],
+                       radius2=float(radius) ** 2, max_count=max_count,
+                       n_support=ns, n_win=n_win)
 
-    kernel = functools.partial(
-        _search_kernel, radius2=float(radius) ** 2,
-        max_count=max_count, n_support=ns, band=band)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile, 3), lambda i, st: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((band, 3), band_lo, memory_space=pltpu.VMEM),
-            pl.BlockSpec((band, 3), band_hi, memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec((tile, 3), lambda i, st: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((QUANTUM, 3), block_map(j),
+                        memory_space=pltpu.VMEM) for j in range(n_win)],
         out_specs=pl.BlockSpec((tile, max_count), lambda i, st: (i, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -201,7 +210,7 @@ def radius_search_banded(queries: jnp.ndarray,
                                        jnp.int32),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(starts2, q2, s2, s2)
+    )(starts2, q2, *([s2] * n_win))
     out = out.reshape(b, nq + pad_q, max_count)[:, :nq]
     out = jnp.where(q_mask[..., None], out, ns)
     return out, overflow
