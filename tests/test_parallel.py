@@ -120,5 +120,10 @@ def test_entry_script_data_parallel(tmp_path):
                                "parameters.txt")) as f:
             params_txt = f.read()
         assert "batch_num = 4" in params_txt
+        # Kernel-drop telemetry is recorded next to plan saturation
+        sat = os.path.join("results/WeakLabel/Log_dp",
+                           "plan_saturation.txt")
+        with open(sat) as f:
+            assert "kernel_drops" in f.read()
     finally:
         os.chdir(cwd)
