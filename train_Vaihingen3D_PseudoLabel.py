@@ -104,6 +104,10 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--weak_label_log", default=None)
     parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--epoch_schedule", default=None,
+                        help="comma list of epochs per AL iteration, e.g. "
+                             "'150,15,15' (last value repeats); overrides "
+                             "--max_epoch per iteration")
     parser.add_argument("--epoch_steps", type=int, default=None)
     parser.add_argument("--validation_size", type=int, default=None)
     parser.add_argument("--al_iterations", type=int, default=None)
@@ -158,6 +162,10 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
     if args.al_iterations is not None:
         config.active_learning_iterations = args.al_iterations
 
+    schedule = None
+    if args.epoch_schedule:
+        schedule = [int(v) for v in args.epoch_schedule.split(",")]
+
     # Class weights from the refinement weight file when available
     data_folder = args.data_root or join("data", config.dataset[:-2])
     weight_file = join(data_folder, "PseudoLabels", config.weak_label_log,
@@ -170,6 +178,8 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
     for iteration in range(iteration_previous,
                            config.active_learning_iterations + 1):
         print(f"\n=== Active-learning iteration {iteration} ===\n")
+        if schedule:
+            config.max_epoch = schedule[min(iteration, len(schedule) - 1)]
         train_ds = dataset_cls(config, split="training",
                                al_iteration=iteration,
                                data_root=args.data_root)
