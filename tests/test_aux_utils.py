@@ -100,13 +100,17 @@ class TestVisualizerAndDebug:
 
 class TestStepTimer:
 
-    def test_phases(self):
-        import time
+    def test_phases(self, monkeypatch):
+        # Deterministic fake clock: real sleeps flake under CPU contention
+        # (single-core CI host).
+        import weasal_tpu.utils.profiling as prof
+        clock = {"t": 0.0}
+        monkeypatch.setattr(prof.time, "perf_counter", lambda: clock["t"])
         timer = StepTimer(["a", "b"])
         for _ in range(3):
             with timer.phase("a"):
-                time.sleep(0.001)
+                clock["t"] += 0.001
             with timer.phase("b"):
-                time.sleep(0.002)
+                clock["t"] += 0.002
         assert timer.ema["b"] > timer.ema["a"] > 0
         assert "a=" in timer.summary()

@@ -41,6 +41,11 @@ class ShapePlan:
     up_neighbors: int = 1          # only column 0 is consumed (closest_pool)
     max_regions: int = 0           # R (weak-label sub-regions per sphere)
     max_region_points: int = 0     # P (points per sub-region)
+    # Measured per-edge band half-windows for the banded Pallas kernels
+    # (ops/pallas/): {"conv": [W_l], "pool": [W_l], "up": [W_l]} in support
+    # rows, sized from observed per-tile index/key spreads at calibration
+    # time (ops/pyramid.measure_bands). None = analytic auto_band fallback.
+    bands: Optional[Dict[str, List[int]]] = None
 
     @property
     def num_layers(self) -> int:

@@ -591,12 +591,47 @@ class CloudSegmentationDataset:
             cfg.in_radius, cfg.first_subsampling_dl, cfg.batch_num,
             cfg.num_layers)
         if key in plans and not force_redo:
-            return ShapePlan(**plans[key])
+            plan = ShapePlan(**plans[key])
+            if plan.bands is None and self._bands_wanted():
+                # Upgrade a cached plan in place: measure the banded-kernel
+                # windows from freshly sampled spheres
+                rng = np.random.default_rng(0)
+                clouds, _, _ = self._sample_calibration_clouds(
+                    min(num_samples, 24), rng)
+                plan.bands = self._measure_plan_bands(plan, clouds, rng)
+                plans[key] = json.loads(json.dumps(plan.__dict__))
+                with open(plan_file, "w") as f:
+                    json.dump(plans, f, indent=2)
+            return plan
 
         t0 = time.time()
         rng = np.random.default_rng(0)
+        clouds, region_counts, region_sizes = \
+            self._sample_calibration_clouds(num_samples, rng)
+
+        if region_counts:
+            r_budget = (int(np.quantile(region_counts, 0.98)) + 2,
+                        int(np.quantile(region_sizes, 0.95)) + 1)
+        else:
+            r_budget = (0, 0)
+        plan = calibrate_shape_plan(clouds, cfg,
+                                    untouched_ratio=untouched_ratio,
+                                    region_budget=r_budget, rng=rng)
+        if self._bands_wanted():
+            plan.bands = self._measure_plan_bands(plan, clouds, rng)
+        plans[key] = json.loads(json.dumps(plan.__dict__))
+        with open(plan_file, "w") as f:
+            json.dump(plans, f, indent=2)
+        if verbose:
+            print(f"Calibrated shape plan in {time.time() - t0:.1f}s: "
+                  f"{plan}")
+        return plan
+
+    def _sample_calibration_clouds(self, num_samples: int,
+                                   rng: np.random.Generator):
+        """Sample sphere point clouds for calibration without disturbing
+        the potential-driven training order (potentials snapshot)."""
         clouds, region_counts, region_sizes = [], [], []
-        # Snapshot potentials so calibration does not disturb training order
         pots = ([p.copy() for p in self.potentials]
                 if self.use_potentials else None)
         for _ in range(num_samples):
@@ -610,22 +645,39 @@ class CloudSegmentationDataset:
             self.min_potentials = [float(p.min()) for p in self.potentials]
             self.argmin_potentials = [int(p.argmin())
                                       for p in self.potentials]
+        return clouds, region_counts, region_sizes
 
-        if region_counts:
-            r_budget = (int(np.quantile(region_counts, 0.98)) + 2,
-                        int(np.quantile(region_sizes, 0.95)) + 1)
-        else:
-            r_budget = (0, 0)
-        plan = calibrate_shape_plan(clouds, cfg,
-                                    untouched_ratio=untouched_ratio,
-                                    region_budget=r_budget, rng=rng)
-        plans[key] = json.loads(json.dumps(plan.__dict__))
-        with open(plan_file, "w") as f:
-            json.dump(plans, f, indent=2)
-        if verbose:
-            print(f"Calibrated shape plan in {time.time() - t0:.1f}s: "
-                  f"{plan}")
-        return plan
+    def _bands_wanted(self) -> bool:
+        """Measured bands are only meaningful for the fused device-pyramid
+        path with banded Pallas kernels enabled (utils/platform)."""
+        cfg = self.config
+        if not getattr(cfg, "device_pyramid", False):
+            return False
+        from weasal_tpu.utils.platform import resolve_pallas_flag
+        return (resolve_pallas_flag(getattr(cfg, "use_pallas_search", False))
+                or resolve_pallas_flag(
+                    getattr(cfg, "use_pallas_kpconv", False),
+                    auto_requires=True))
+
+    def _measure_plan_bands(self, plan: ShapePlan, clouds, rng):
+        """Per-edge band half-windows from calibration spheres, in the
+        exact level-0 order the fused path ships (assemble_level0 sort)."""
+        from weasal_tpu.data.level0 import assemble_level0
+        from weasal_tpu.ops.pyramid import measure_bands
+        bsz = max(int(self.config.batch_num), 1)
+        batches = []
+        for i in range(0, len(clouds), bsz):
+            group = clouds[i:i + bsz]
+            if len(group) < bsz:
+                break
+            payloads = [dict(points=np.asarray(p, np.float32),
+                             features=np.zeros((p.shape[0], 1), np.float32))
+                        for p in group]
+            arrays = assemble_level0(payloads, plan,
+                                     self.config.num_classes, rng)
+            batches.append((arrays["points0"], arrays["mask0"],
+                            arrays["rotations"]))
+        return measure_bands(batches, self.config, plan)
 
 
 # ----------------------------------------------------------------------------

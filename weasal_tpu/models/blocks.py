@@ -255,6 +255,16 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
     import zlib
     cfg = parent_cfg
     current_extent = radius * cfg.KP_extent / cfg.conv_radius
+    # Band half-window: explicit config override wins; else the plan's
+    # measured per-edge band (trainer/tester set cfg.pallas_band_table from
+    # ShapePlan.bands); else 0 = ops.kpconv analytic auto-band fallback.
+    band = int(getattr(cfg, "pallas_band", 0))
+    table = getattr(cfg, "pallas_band_table", None)
+    if not band and table:
+        edge = "pool" if "strided" in block_name else "conv"
+        row = table.get(edge, ())
+        if layer_ind < len(row):
+            band = int(row[layer_ind])
     # Deterministic per-op pose seed (each KPConv gets its own randomized
     # kernel disposition, like the reference's per-instance load_kernels)
     seed = zlib.crc32(
@@ -271,7 +281,7 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
             getattr(cfg, "use_pallas_kpconv", False),
             auto_requires=bool(getattr(cfg, "device_pyramid", False))),
         pallas_interpret=bool(getattr(cfg, "pallas_interpret", False)),
-        pallas_band=int(getattr(cfg, "pallas_band", 0)),
+        pallas_band=band,
         in_radius=float(getattr(cfg, "in_radius", 0.0)),
         sort_margin=radius / cfg.conv_radius,
         name=name)

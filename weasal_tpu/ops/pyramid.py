@@ -34,11 +34,35 @@ def _plan_tuple(plan: ShapePlan):
             tuple(plan.pool_neighbors), plan.up_neighbors)
 
 
+_EDGE_ORDER = ("conv", "pool", "up")
+
+
+def plan_bands_tuple(plan: ShapePlan):
+    """plan.bands["search"] -> hashable static tuple
+    ((conv...), (pool...), (up...)) for jit, or None when the plan carries
+    no measured bands. The search windows are key-range bound and wider
+    than the KPConv windows (plan.bands["kpconv"], consumed by
+    models/blocks via config.pallas_band_table)."""
+    bands = getattr(plan, "bands", None)
+    if not bands or "search" not in bands:
+        return None
+    return tuple(tuple(int(w) for w in bands["search"].get(k, ()))
+                 for k in _EDGE_ORDER)
+
+
+def _edge_band(bands, edge: str, l: int) -> int:
+    """Measured half-window for (edge, level), 0 when unavailable."""
+    if bands is None:
+        return 0
+    row = bands[_EDGE_ORDER.index(edge)]
+    return row[l] if l < len(row) else 0
+
+
 @partial(jax.jit, static_argnames=("num_points", "conv_neighbors",
                                    "pool_neighbors", "up_neighbors",
                                    "dl0", "conv_radii", "pool_radii",
                                    "up_radii", "in_radius", "chunk",
-                                   "banded", "band", "interpret"))
+                                   "banded", "band", "bands", "interpret"))
 def _build_pyramid(points0: jnp.ndarray,
                    mask0: jnp.ndarray,
                    rotations: Optional[jnp.ndarray],
@@ -54,6 +78,7 @@ def _build_pyramid(points0: jnp.ndarray,
                    chunk: int = 512,
                    banded: bool = False,
                    band: int = 512,
+                   bands: Optional[Tuple[Tuple[int, ...], ...]] = None,
                    interpret: bool = False):
     L = len(num_points)
     points = [points0]
@@ -97,7 +122,7 @@ def _build_pyramid(points0: jnp.ndarray,
         else:
             skeys = [p[:, :, 0] for p in points]
 
-        def search(lq, ls, r, k):
+        def search(edge, l, lq, ls, r, k):
             nonlocal overflow
             # Sort slack: only the SUPPORT side's key disorder matters
             # (tile lo/hi come from actual query keys); that disorder is
@@ -107,9 +132,11 @@ def _build_pyramid(points0: jnp.ndarray,
             margin = dl0 * (2 ** ls)
             if ls == 0:
                 margin = max(margin, 2.5 * in_radius / 256.0)
-            w = band if band else auto_band(
-                float(r), float(margin), num_points[lq], num_points[ls],
-                in_radius)
+            w = band if band else _edge_band(bands, edge, l)
+            if not w:
+                w = auto_band(
+                    float(r), float(margin), num_points[lq], num_points[ls],
+                    in_radius)
             idx, ovf = radius_search_banded(
                 points[lq], points[ls], masks[lq], masks[ls],
                 skeys[lq], skeys[ls], radius=float(r), max_count=int(k),
@@ -117,7 +144,7 @@ def _build_pyramid(points0: jnp.ndarray,
             overflow = overflow + jnp.sum(ovf)
             return idx
     else:
-        def search(lq, ls, r, k):
+        def search(edge, l, lq, ls, r, k):
             return jax.vmap(
                 lambda q, s, qm, sm: radius_search_fixed(
                     q, s, qm, sm, r, k, chunk))(
@@ -125,11 +152,13 @@ def _build_pyramid(points0: jnp.ndarray,
 
     neighbors, pools, upsamples = [], [], []
     for l in range(L):
-        neighbors.append(search(l, l, conv_radii[l], conv_neighbors[l]))
+        neighbors.append(search("conv", l, l, l,
+                                conv_radii[l], conv_neighbors[l]))
         if l < L - 1:
-            pools.append(search(l + 1, l, pool_radii[l],
+            pools.append(search("pool", l, l + 1, l, pool_radii[l],
                                 pool_neighbors[l]))
-            upsamples.append(search(l, l + 1, up_radii[l], up_neighbors))
+            upsamples.append(search("up", l, l, l + 1,
+                                    up_radii[l], up_neighbors))
     return tuple(points), tuple(masks), tuple(neighbors), tuple(pools), \
         tuple(upsamples), overflow
 
@@ -161,6 +190,7 @@ def build_pyramid_device(points0: jnp.ndarray,
                           banded=resolve_pallas_flag(
                               getattr(config, "use_pallas_search", False)),
                           band=int(getattr(config, "pallas_band", 0)),
+                          bands=plan_bands_tuple(plan),
                           interpret=bool(getattr(config,
                                                  "pallas_interpret",
                                                  False)))
@@ -184,3 +214,144 @@ def batch_from_device_pyramid(points0, mask0, features, labels, config,
         region_inds=region_inds, region_masks=region_masks,
         region_point_masks=region_point_masks, region_lb=region_lb,
         search_overflow=overflow)
+
+
+# ----------------------------------------------------------------------
+# Band calibration: measured per-edge half-windows for the banded kernels
+# ----------------------------------------------------------------------
+
+_QUANTUM = 128   # must match ops/pallas/{radius_pallas,kpconv_banded}.QUANTUM
+_TILE = 128
+
+
+def _tile_need_conv(idx: "np.ndarray", ns: int,
+                    tile: int = _TILE, q: int = _QUANTUM) -> int:
+    """Rows the banded-KPConv window must cover for these neighbor lists.
+
+    Mirrors kpconv_banded._prep: per query tile the window starts at the
+    tile's min valid neighbor index aligned down to `q`; every valid
+    neighbor must land within the window. Returns max over tiles of
+    (max_nb - aligned_down(min_nb) + 1); 0 if nothing valid.
+    """
+    import numpy as np
+    idx = np.asarray(idx)
+    b, nq, k = idx.shape
+    pad = (-nq) % tile
+    if pad:
+        idx = np.pad(idx, ((0, 0), (0, pad), (0, 0)), constant_values=ns)
+    t = idx.reshape(b, -1, tile * k)
+    valid = t < ns
+    has = valid.any(axis=2)
+    lo = np.where(valid, t, 2 * ns).min(axis=2)
+    hi = np.where(valid, t, -1).max(axis=2)
+    need = hi - (lo // q) * q + 1
+    return int(need[has].max()) if has.any() else 0
+
+
+def _tile_need_search(kq: "np.ndarray", ks: "np.ndarray",
+                      qm: "np.ndarray", sm: "np.ndarray",
+                      radius: float, margin: float,
+                      tile: int = _TILE, q: int = _QUANTUM) -> int:
+    """Rows the banded radius-search window must cover for these keys.
+
+    Mirrors radius_search_banded: per query tile, supports with sort key in
+    [min_key - r - margin, max_key + r + margin] must fit in a window that
+    starts at count(ks < lo) aligned down to `q`. Returns max over tiles of
+    (count(ks <= hi) - aligned_down(count(ks < lo))).
+    """
+    import numpy as np
+    kq = np.where(np.asarray(qm), np.asarray(kq), np.inf)
+    ks = np.where(np.asarray(sm), np.asarray(ks), np.inf)
+    b, nq = kq.shape
+    pad = (-nq) % tile
+    if pad:
+        kq = np.pad(kq, ((0, 0), (0, pad)), constant_values=np.inf)
+    kq_t = kq.reshape(b, -1, tile)
+    lo = np.min(kq_t, axis=2) - radius - margin
+    hi = np.max(np.where(np.isinf(kq_t), -np.inf, kq_t), axis=2) \
+        + radius + margin
+    below = np.sum(ks[:, None, :] < lo[:, :, None], axis=2)
+    until = np.sum(ks[:, None, :] <= hi[:, :, None], axis=2)
+    need = until - (below // q) * q
+    need = need[hi >= lo]
+    return int(need.max()) if need.size else 0
+
+
+def _band_from_need(need: int, q: int = _QUANTUM) -> int:
+    """Half-window W for a measured need: one spare block of headroom
+    beyond the observed worst tile (the kernels cover W + q rows), floor
+    256. Runtime oob/overflow counters remain the guard for tails beyond
+    calibration."""
+    w = ((need + q) + q - 1) // q * q
+    return max(256, w)
+
+
+def measure_bands(level0_batches, config, plan: ShapePlan,
+                  headroom_fn=_band_from_need):
+    """Measure per-edge band half-windows from calibration batches.
+
+    :param level0_batches: iterable of (points0 [B,N0,3], mask0 [B,N0],
+        rotations [B,3,3] or None) in the fused path's level-0 order
+        (assemble_level0 output).
+    :return: {"search": {"conv": [W_l], "pool": [W_l], "up": [W_l]},
+        "kpconv": {"conv": [W_l], "pool": [W_l]}} — separate window sets
+        because their coverage rules differ: the radius search must span
+        the query tile's sort-KEY range (wide — all candidates in
+        [key ± r+margin]), while the KPConv only spans the found
+        neighbor INDEX spread (narrow). Kernel cost is linear in the
+        window, and the convs dominate step time, so the split matters.
+
+    Ground truth comes from the non-banded XLA pyramid (exact search),
+    so a measured band can only be under-sized if runtime spheres spread
+    wider than calibration spheres — which the runtime overflow/oob
+    telemetry surfaces (trainer logs kernel_drops per epoch).
+    """
+    import numpy as np
+    conv_r, pool_r, up_r = layer_radii(config)
+    np_l = list(plan.num_points)
+    L = len(np_l)
+    dl0 = float(config.first_subsampling_dl)
+    in_r = float(config.in_radius)
+    s_needs = {"conv": [0] * L, "pool": [0] * (L - 1), "up": [0] * (L - 1)}
+    k_needs = {"conv": [0] * L, "pool": [0] * (L - 1)}
+
+    for pts0, m0, rot in level0_batches:
+        pts, msks, neighbors, pools, ups, _ = _build_pyramid(
+            jnp.asarray(pts0), jnp.asarray(m0),
+            jnp.asarray(rot) if rot is not None else None,
+            tuple(np_l), tuple(plan.conv_neighbors),
+            tuple(plan.pool_neighbors), plan.up_neighbors,
+            dl0, tuple(float(r) for r in conv_r),
+            tuple(float(r) for r in pool_r),
+            tuple(float(r) for r in up_r), in_r,
+            banded=False)
+        pts = [np.asarray(p) for p in pts]
+        msks = [np.asarray(m) for m in msks]
+        if rot is not None:
+            rot = np.asarray(rot)
+            keys = [np.einsum("bnd,bd->bn", p, rot[:, :, 0]) for p in pts]
+        else:
+            keys = [p[:, :, 0] for p in pts]
+
+        def margin_of(ls):
+            m = dl0 * (2 ** ls)
+            return max(m, 2.5 * in_r / 256.0) if ls == 0 else m
+
+        edges = ([("conv", l, l, l, conv_r[l], neighbors[l])
+                  for l in range(L)]
+                 + [("pool", l, l + 1, l, pool_r[l], pools[l])
+                    for l in range(L - 1)]
+                 + [("up", l, l, l + 1, up_r[l], ups[l])
+                    for l in range(L - 1)])
+        for edge, l, lq, ls, r, idx in edges:
+            s = _tile_need_search(keys[lq], keys[ls], msks[lq],
+                                  msks[ls], float(r), margin_of(ls))
+            s_needs[edge][l] = max(s_needs[edge][l], s)
+            if edge != "up":      # upsample is a gather, never a KPConv
+                k = _tile_need_conv(np.asarray(idx), np_l[ls])
+                k_needs[edge][l] = max(k_needs[edge][l], k)
+
+    return {"search": {k: [headroom_fn(n) for n in v]
+                       for k, v in s_needs.items()},
+            "kpconv": {k: [headroom_fn(n) for n in v]
+                       for k, v in k_needs.items()}}

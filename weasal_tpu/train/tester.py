@@ -46,6 +46,7 @@ class ModelTester:
         self.model = _model_for_config(config, dataset.label_values,
                                        dataset.ignored_labels)
         self.plan = dataset.calibration()
+        config.pallas_band_table = (self.plan.bands or {}).get("kpconv")
 
         from weasal_tpu.train.trainer import load_checkpoint_file
         payload = load_checkpoint_file(chkp_path)

@@ -151,6 +151,10 @@ class ModelTrainer:
         self.label_table = jnp.asarray(valid_label_mapper(
             dataset.label_values, dataset.ignored_labels))
         self.plan = dataset.calibration()
+        # Measured banded-kernel windows (ShapePlan.bands) for the KPConv
+        # blocks; the device pyramid reads its own (wider, key-range-bound)
+        # search windows from the plan directly
+        config.pallas_band_table = (self.plan.bands or {}).get("kpconv")
         self.class_w = (jnp.asarray(np.asarray(config.class_w, np.float32))
                         if len(config.class_w) else None)
 
