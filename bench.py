@@ -55,7 +55,8 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 PEAK_FLOPS_BF16 = 197e12        # TPU v5e (v5 lite) MXU peak, bf16
 
 
-def build_bench_problem(geometry: str = "vaihingen"):
+def build_bench_problem(geometry: str = "vaihingen",
+                        band_samples: int = 6):
     """Reference-scale config + demo batch for a bench geometry."""
     from weasal_tpu.config import Config
 
@@ -104,7 +105,49 @@ def build_bench_problem(geometry: str = "vaihingen"):
     from weasal_tpu.data.demo import demo_batch
     batch, plan = demo_batch(config, batch_size=config.batch_num, seed=0,
                              density=density)
+
+    # Measured banded-kernel windows: the same band calibration the
+    # datasets run (datasets.calibration -> ops/pyramid.measure_bands),
+    # from demo spheres. Narrower KPConv windows, exact search coverage.
+    from weasal_tpu.utils.platform import resolve_pallas_flag
+    if band_samples and (resolve_pallas_flag(config.use_pallas_search)
+                         or resolve_pallas_flag(config.use_pallas_kpconv)):
+        from weasal_tpu.data.demo import demo_sphere
+        from weasal_tpu.data.level0 import assemble_level0
+        from weasal_tpu.ops.pyramid import measure_bands
+        rng = np.random.default_rng(1)
+        cal = []
+        for _ in range(band_samples):
+            payloads = [demo_sphere(rng, config, density=density)
+                        for _ in range(config.batch_num)]
+            _thin_payloads(payloads, plan, rng)
+            arrays = assemble_level0(payloads, plan, config.num_classes,
+                                     rng)
+            cal.append((arrays["points0"], arrays["mask0"],
+                        arrays["rotations"]))
+        plan.bands = measure_bands(cal, config, plan)
+        config.pallas_band_table = plan.bands["kpconv"]
     return config, batch, plan
+
+
+def _thin_payloads(payloads, plan, rng):
+    """Crop sphere payloads to the plan's level-0 budget in place (the
+    same thinning the potential sampler applies)."""
+    n0 = plan.num_points[0]
+    for p in payloads:
+        if p["points"].shape[0] <= n0:
+            continue
+        keep = np.sort(rng.choice(p["points"].shape[0], n0, replace=False))
+        remap = -np.ones(p["points"].shape[0], np.int64)
+        remap[keep] = np.arange(n0)
+        regions = []
+        for inds, lb in p["regions"]:
+            new = remap[inds]
+            new = new[new >= 0]
+            if new.size:
+                regions.append((new, lb))
+        p.update(points=p["points"][keep], features=p["features"][keep],
+                 labels=p["labels"][keep], regions=regions)
 
 
 def wl_conv_plan(config):
@@ -157,21 +200,7 @@ def make_fused_step(config, plan, seed=0, density=7.0):
     rng = np.random.default_rng(seed)
     payloads = [demo_sphere(rng, config, density=density)
                 for _ in range(config.batch_num)]
-    for p in payloads:  # thin to the plan budget like the sampler does
-        n0 = plan.num_points[0]
-        if p["points"].shape[0] > n0:
-            keep = np.sort(rng.choice(p["points"].shape[0], n0,
-                                      replace=False))
-            remap = -np.ones(p["points"].shape[0], np.int64)
-            remap[keep] = np.arange(n0)
-            regions = []
-            for inds, lb in p["regions"]:
-                new = remap[inds]
-                new = new[new >= 0]
-                if new.size:
-                    regions.append((new, lb))
-            p.update(points=p["points"][keep], features=p["features"][keep],
-                     labels=p["labels"][keep], regions=regions)
+    _thin_payloads(payloads, plan, rng)
     arrays = assemble_level0(payloads, plan, config.num_classes, rng)
 
     model = KPFCNN_mprm(config, tuple(range(config.num_classes)), ())
@@ -326,7 +355,8 @@ def main():
                          / (r["step_time_ms"] / 1e3) / PEAK_FLOPS_BF16, 4)
         results[geometry] = r
 
-    config, batch, _ = build_bench_problem("vaihingen")
+    # torch-CPU baseline comparison point: bands are irrelevant there
+    config, batch, _ = build_bench_problem("vaihingen", band_samples=0)
     baseline = None
     ref_baseline = None
     cache = {}

@@ -74,9 +74,9 @@ class TestTileNeeds:
 
     def test_band_from_need_headroom(self):
         assert _band_from_need(0) == 256
-        assert _band_from_need(1) == 256
-        # need 1520 -> W 1664 -> kernels cover 1792
-        assert _band_from_need(1520) == 1664
+        assert _band_from_need(1) == 384
+        # need 1520 -> W 1792 -> kernels cover 1920
+        assert _band_from_need(1520) == 1792
 
 
 # ----------------------------------------------------------------------

@@ -278,11 +278,14 @@ def _tile_need_search(kq: "np.ndarray", ks: "np.ndarray",
 
 
 def _band_from_need(need: int, q: int = _QUANTUM) -> int:
-    """Half-window W for a measured need: one spare block of headroom
+    """Half-window W for a measured need: two spare blocks of headroom
     beyond the observed worst tile (the kernels cover W + q rows), floor
-    256. Runtime oob/overflow counters remain the guard for tails beyond
-    calibration."""
-    w = ((need + q) + q - 1) // q * q
+    256. One block was measurably not enough — with ~40 calibration
+    spheres vs ~180k training spheres, the runtime tail exceeded
+    need+2q on ~0.002% of slots at Vaihingen geometry; +2 blocks zeroes
+    it while staying well under the analytic auto_band windows. Runtime
+    oob/overflow counters remain the guard for tails beyond calibration."""
+    w = ((need + 2 * q) + q - 1) // q * q
     return max(256, w)
 
 
