@@ -181,10 +181,14 @@ class TestWLDataset:
         assert batch.features.shape[1] == plan.num_points[0]
 
         cfg = wl_dataset.config
+        from weasal_tpu.models.init import jit_init
         model = KPFCNN_mprm(cfg, tuple(range(9)), ())
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-        (logits, cla_logits, cam), _ = model.apply(
-            variables, batch, train=True, mutable=["batch_stats"])
+        variables = jit_init(model, jax.random.PRNGKey(0), batch)
+        # jitted apply: eager flax apply is thousands of tiny CPU dispatches
+        (logits, cla_logits, cam), _ = jax.jit(
+            lambda v, b: model.apply(v, b, train=True,
+                                     mutable=["batch_stats"]))(
+            variables, batch)
         assert logits.shape == (2, plan.num_points[0], 9)
         loss = losses.region_mprm_loss(
             cam, batch.region_inds, batch.region_masks,

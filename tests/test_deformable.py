@@ -48,10 +48,11 @@ def test_deformable_forward_and_training_step():
     n_offset = sum(jax.tree_util.tree_leaves(mask))
     assert n_offset > 0
 
-    out, mutated = model.apply(
+    # jitted: eager flax apply dispatches thousands of tiny CPU ops
+    out, mutated = jax.jit(lambda v, b: model.apply(
+        v, b, train=True, mutable=["batch_stats", "deform"]))(
         {"params": params, "constants": variables["constants"],
-         "batch_stats": variables["batch_stats"]},
-        batch, train=True, mutable=["batch_stats", "deform"])
+         "batch_stats": variables["batch_stats"]}, batch)
     logits, cla_logits, cam = out
     deform_aux = mutated.get("deform", {})
     assert deform_aux, "deformable blocks must sow regularizer inputs"

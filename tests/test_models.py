@@ -9,7 +9,17 @@ from weasal_tpu.data.batching import (
     ShapePlan, assemble_batch, build_sphere_pyramid, calibrate_shape_plan)
 from weasal_tpu.models.architectures import (
     KPFCNN, KPFCNN_mprm, valid_label_mapper)
+from weasal_tpu.models.init import jit_init
 from weasal_tpu.models import losses
+
+
+def _jit_apply(model, variables, batch, **kw):
+    """Jitted flax apply: eager apply dispatches thousands of tiny CPU
+    ops per call; jitted programs also land in the persistent compile
+    cache, so warm suite runs skip the compile too."""
+    return jax.jit(lambda v, b: model.apply(v, b, train=True,
+                                            mutable=["batch_stats"], **kw)
+                   )(variables, batch)
 
 
 class TinyWLConfig(Config):
@@ -86,9 +96,8 @@ class TestKPFCNNmprm:
         cfg = TinyWLConfig()
         batch, plan = make_batch(cfg)
         model = KPFCNN_mprm(cfg, tuple(range(5)), ())
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-        (logits, cla_logits, cam), _ = model.apply(
-            variables, batch, train=True, mutable=["batch_stats"])
+        variables = jit_init(model, jax.random.PRNGKey(0), batch)
+        (logits, cla_logits, cam), _ = _jit_apply(model, variables, batch)
         B, N0 = batch.features.shape[:2]
         assert logits.shape == (B, N0, 5)
         assert len(cla_logits) == 4 and cla_logits[0].shape == (B, 5)
@@ -109,11 +118,9 @@ class TestKPFCNNmprm:
         batch2, _ = make_batch(cfg, plan=plan2, seed=3)
 
         model = KPFCNN_mprm(cfg, tuple(range(5)), ())
-        variables = model.init(jax.random.PRNGKey(0), batch1, train=False)
-        out1, _ = model.apply(variables, batch1, train=True,
-                              mutable=["batch_stats"])
-        out2, _ = model.apply(variables, batch2, train=True,
-                              mutable=["batch_stats"])
+        variables = jit_init(model, jax.random.PRNGKey(0), batch1)
+        out1, _ = _jit_apply(model, variables, batch1)
+        out2, _ = _jit_apply(model, variables, batch2)
         n_real = np.asarray(batch1.lengths[0])
         for b in range(2):
             np.testing.assert_allclose(
@@ -166,10 +173,9 @@ class TestKPFCNN:
         cfg = TinyPLConfig()
         batch, _ = make_batch(cfg, with_regions=False)
         model = KPFCNN(cfg, tuple(range(5)), ())
-        variables = model.init(jax.random.PRNGKey(1), batch, train=False)
-        logits, _ = model.apply(
-            variables, batch, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.PRNGKey(2)})
+        variables = jit_init(model, jax.random.PRNGKey(1), batch)
+        logits, _ = _jit_apply(model, variables, batch,
+                               rngs={"dropout": jax.random.PRNGKey(2)})
         B, N0 = batch.features.shape[:2]
         assert logits.shape == (B, N0, 5)
 
@@ -235,8 +241,7 @@ class TestKPCNN:
         cfg = ClsConfig()
         batch, _ = make_batch(cfg, with_regions=False)
         model = KPCNN(cfg)
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-        logits, _ = model.apply(variables, batch, train=True,
-                                mutable=["batch_stats"])
+        variables = jit_init(model, jax.random.PRNGKey(0), batch)
+        logits, _ = _jit_apply(model, variables, batch)
         assert logits.shape == (2, 5)
         assert np.all(np.isfinite(np.asarray(logits)))

@@ -41,8 +41,12 @@ def test_model_forward_matches_xla_path():
     model_p = KPFCNN_mprm(cfg_p, tuple(range(5)), ())
     variables = jit_init(model_x, jax.random.PRNGKey(0), batch)
 
-    out_x = model_x.apply(variables, batch, train=False)
-    out_p = model_p.apply(variables, batch, train=False)
+    # jit the applies: eager flax apply dispatches thousands of tiny CPU
+    # ops; jitted programs also land in the persistent compile cache
+    out_x = jax.jit(lambda v, b: model_x.apply(v, b, train=False))(
+        variables, batch)
+    out_p = jax.jit(lambda v, b: model_p.apply(v, b, train=False))(
+        variables, batch)
 
     np.testing.assert_allclose(np.asarray(out_x[0]), np.asarray(out_p[0]),
                                rtol=2e-3, atol=2e-3)

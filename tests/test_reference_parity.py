@@ -42,6 +42,14 @@ import jax.numpy as jnp  # noqa: E402
 from weasal_tpu.models.architectures import (  # noqa: E402
     KPFCNN, KPFCNN_mprm, valid_label_mapper)
 from weasal_tpu.models import losses  # noqa: E402
+from weasal_tpu.models.init import jit_init  # noqa: E402
+
+
+def _jit_eval(model, variables, batch):
+    # jitted eval apply (cached in the persistent compile cache); eager
+    # flax apply is thousands of tiny CPU dispatches
+    return jax.jit(lambda v, b: model.apply(v, b, train=False))(
+        variables, batch)
 from weasal_tpu.utils.torch_interop import (  # noqa: E402
     dense_batch_to_reference, install_reference_shims, torch_state_to_flax)
 
@@ -140,18 +148,18 @@ class TestMPRMParity:
         _randomize(net)
 
         model = KPFCNN_mprm(cfg, tuple(range(cfg.num_classes)), ())
-        template = model.init(jax.random.PRNGKey(0), batch, train=False)
+        template = jit_init(model, jax.random.PRNGKey(0), batch)
         variables = _flax_variables_from_torch(net, template)
-        return cfg, batch, net, model, variables
+        outputs = _jit_eval(model, variables, batch)
+        return cfg, batch, net, model, variables, outputs
 
     def test_forward_logits_match(self, setup):
-        cfg, batch, net, model, variables = setup
+        cfg, batch, net, model, variables, outputs = setup
         ref_batch = dense_batch_to_reference(batch)
         with torch.no_grad():
             ref_x, ref_cla, ref_cam = net(ref_batch, cfg)
 
-        ours_x, ours_cla, ours_cam = model.apply(variables, batch,
-                                                 train=False)
+        ours_x, ours_cla, ours_cam = outputs
 
         lengths = np.asarray(batch.lengths[0])
         got = _stack_real(np.asarray(ours_x), lengths)
@@ -166,7 +174,7 @@ class TestMPRMParity:
                                        rtol=2e-3, atol=2e-4)
 
     def test_region_mprm_loss_matches(self, setup):
-        cfg, batch, net, model, variables = setup
+        cfg, batch, net, model, variables, outputs = setup
         ref_batch = dense_batch_to_reference(batch)
         with torch.no_grad():
             _, _, ref_cam = net(ref_batch, cfg)
@@ -192,7 +200,7 @@ class TestMPRMParity:
             ref_loss = net.region_mprm_loss(
                 [c for c in ref_cam], regions_all, regions_lb, lengths0)
 
-        ours = model.apply(variables, batch, train=False)
+        ours = outputs
         got = float(losses.region_mprm_loss(
             ours[2], jnp.asarray(batch.region_inds),
             jnp.asarray(batch.region_masks),
@@ -201,9 +209,9 @@ class TestMPRMParity:
         np.testing.assert_allclose(got, float(ref_loss), rtol=1e-3)
 
     def test_accuracy_semantics_match(self, setup):
-        cfg, batch, net, model, variables = setup
+        cfg, batch, net, model, variables, outputs = setup
         ref_batch = dense_batch_to_reference(batch)
-        logits = model.apply(variables, batch, train=False)[0]
+        logits = outputs[0]
 
         lengths = np.asarray(batch.lengths[0])
         stacked_logits = torch.from_numpy(
@@ -247,10 +255,10 @@ class TestTorchCheckpointInterop:
         assert payload.get("optimizer_state_dict") is None
 
         model = KPFCNN_mprm(cfg, tuple(range(cfg.num_classes)), ())
-        template = model.init(jax.random.PRNGKey(0), batch, train=False)
+        template = jit_init(model, jax.random.PRNGKey(0), batch)
         ms = payload["model_state_dict"]
         variables = {"params": ms["params"], "constants": ms["constants"]}
-        out = model.apply(variables, batch, train=False)
+        out = _jit_eval(model, variables, batch)
 
         ref_batch = dense_batch_to_reference(batch)
         net.eval()
@@ -281,13 +289,13 @@ class TestKPFCNNParity:
         _randomize(net, seed=1)
 
         model = KPFCNN(cfg, tuple(range(cfg.num_classes)), ())
-        template = model.init(jax.random.PRNGKey(0), batch, train=False)
+        template = jit_init(model, jax.random.PRNGKey(0), batch)
         variables = _flax_variables_from_torch(net, template)
 
         ref_batch = dense_batch_to_reference(batch)
         with torch.no_grad():
             ref_logits = net(ref_batch, cfg)
-        ours = model.apply(variables, batch, train=False)
+        ours = _jit_eval(model, variables, batch)
 
         lengths = np.asarray(batch.lengths[0])
         got = _stack_real(np.asarray(ours), lengths)
