@@ -28,6 +28,10 @@ Extra keys in the JSON line:
     non-padded point counts; a lower bound on useful work) / device time
     / 197 TFLOP/s (v5e bf16 peak)
   * stages — per-category device self-time breakdown (us/step)
+  * kpconv_hbm_gbps / kpconv_hbm_util — achieved HBM bandwidth of the
+    banded conv kernels (analytic DMA bytes / measured pallas self-time)
+    vs the 819 GB/s v5e roofline; the conv kernels are bandwidth-bound,
+    so this is their speed-of-light yardstick (MFU is the MXU one)
   * dales — the same measurements at DALES geometry
 
 `vs_baseline`: the reference publishes no numbers (BASELINE.md) and its
@@ -151,38 +155,95 @@ def _thin_payloads(payloads, plan, rng):
 
 
 def wl_conv_plan(config):
-    """(level, cin, cout) of every KPConv in the WL mprm network, from the
-    same dim bookkeeping the model uses."""
+    """(support_level, cin, cout, edge) of every KPConv in the WL mprm
+    network, from the same dim bookkeeping the model uses. edge='pool'
+    means a strided conv: queries live at support_level+1."""
     f = config.first_features_dim
     return [
-        (0, config.in_features_dim, f // 2),        # simple
-        (0, f // 4, f // 4),                        # resnetb bottleneck
-        (0, f // 4, f // 4),                        # resnetb_strided (pool)
-        (1, f // 2, f // 2),                        # resnetb @ level1
-        (1, f // 2, f // 2),                        # resnetb_strided
-        (2, f, f),                                  # resnetb @ level2
+        (0, config.in_features_dim, f // 2, "conv"),   # simple
+        (0, f // 4, f // 4, "conv"),                   # resnetb bottleneck
+        (0, f // 4, f // 4, "pool"),                   # resnetb_strided
+        (1, f // 2, f // 2, "conv"),                   # resnetb @ level1
+        (1, f // 2, f // 2, "pool"),                   # resnetb_strided
+        (2, f, f, "conv"),                             # resnetb @ level2
         # MPRM heads: SimpleBlock2 convs at level 2 (sa 2x, ca 2x, pa 1x)
-        (2, 4 * f, 4 * f), (2, 4 * f, 4 * f),
-        (2, 4 * f, f // 2), (2, f // 2, 4 * f),
-        (2, 8 * f, 4 * f),
+        (2, 4 * f, 4 * f, "conv"), (2, 4 * f, 4 * f, "conv"),
+        (2, 4 * f, f // 2, "conv"), (2, f // 2, 4 * f, "conv"),
+        (2, 8 * f, 4 * f, "conv"),
     ]
 
 
 def conv_flops(config, batch):
     """Algorithmic KPConv FLOPs per train step (fwd + 2x for bwd) at real
-    point counts: influence-weighted aggregation (N*Kp*K*Cin MACs) plus
-    the per-kernel-point weight GEMM (N*Kp*Cin*Cout MACs)."""
+    point counts: influence-weighted aggregation (Nq*Kp*K*Cin MACs) plus
+    the per-kernel-point weight GEMM (Nq*Kp*Cin*Cout MACs), with Nq the
+    real query count of each conv (pooled level for strided convs)."""
     levels = []
     for l in range(len(batch.points)):
         n = int(np.sum(np.asarray(batch.lengths[l])))
-        k = int(batch.neighbors[l].shape[2])
-        levels.append((n, k))
+        levels.append(n)
     kp = config.num_kernel_points
     total = 0
-    for (lvl, cin, cout) in wl_conv_plan(config):
-        n, k = levels[min(lvl, len(levels) - 1)]
-        total += 2 * n * kp * (k * cin + cin * cout)
+    for (lvl, cin, cout, edge) in wl_conv_plan(config):
+        ql = min(lvl + (1 if edge == "pool" else 0), len(levels) - 1)
+        nq = levels[ql]
+        k = int((batch.pools[lvl] if edge == "pool"
+                 else batch.neighbors[lvl]).shape[2])
+        total += 2 * nq * kp * (k * cin + cin * cout)
     return 3 * total      # fwd + backward (~2x fwd)
+
+
+PEAK_HBM_BYTES = 819e9          # TPU v5e HBM bandwidth
+
+
+def kpconv_traffic_bytes(config, plan):
+    """Analytic HBM (DMA) traffic of the banded Pallas KPConv kernels per
+    train step — the bytes the kernels' BlockSpecs actually move, at the
+    plan's padded shapes and measured band windows.
+
+    The banded kernels are bandwidth-bound, not FLOP-bound (the influence
+    rebuild trades redundant MXU columns for zero gather/scatter
+    traffic), so achieved bytes/s against the 819 GB/s v5e HBM roofline
+    is the speed-of-light yardstick for them, complementing MFU.
+
+    Model (mirrors kpconv_banded.py's BlockSpecs; window blocks are
+    DMA'd unconditionally — `_block_needed` skips compute, not copies):
+      fwd, per 128-query tile: q[128,3]f32 + nb[128,K]i32 +
+        n_win*(s[128,3]f32 + x[128,Cin]bf16) + out[128,Cout]f32 +
+        oob[128,1]f32; weights[Kp,Cin,Cout]bf16 once per call.
+      bwd, additionally per tile: g[128,Cout]f32; per sphere:
+        dX[Ns_pad,Cin]f32 write; per call: dW[Kp,Cin,Cout]f32 write.
+    """
+    q = 128
+    tile = 128
+    kp = config.num_kernel_points
+    b = config.batch_num
+    bands = (plan.bands or {}).get("kpconv", {})
+    total = 0
+    for (lvl, cin, cout, edge) in wl_conv_plan(config):
+        if edge == "pool":
+            nq, ns = plan.num_points[lvl + 1], plan.num_points[lvl]
+            kw = plan.pool_neighbors[lvl]
+        else:
+            nq = ns = plan.num_points[lvl]
+            kw = plan.conv_neighbors[lvl]
+        w = int(bands.get(edge, [0] * (lvl + 1))[lvl]) or 512
+        # kpconv_banded's clamp for small support clouds
+        w = max(min(w, -(-ns // q) * q), q)
+        n_win = -(-w // q) + 1
+        n_tiles = -(-nq // tile)
+        ns_pad = max(n_win * q, -(-ns // q) * q)
+
+        per_tile_common = (tile * 3 * 4 + tile * kw * 4
+                           + n_win * (q * 3 * 4 + q * cin * 2))
+        fwd_tile = per_tile_common + tile * cout * 4 + tile * 4
+        bwd_tile = per_tile_common + tile * cout * 4
+        per_call = kp * cin * cout * 2                      # weights, fwd
+        per_call += kp * cin * cout * (2 + 4)               # w + dW, bwd
+        per_sphere_bwd = ns_pad * cin * 4                   # dX slab
+        total += (b * n_tiles * (fwd_tile + bwd_tile)
+                  + b * per_sphere_bwd + per_call)
+    return total
 
 
 def make_fused_step(config, plan, seed=0, density=7.0):
@@ -353,6 +414,13 @@ def main():
                              density=12.0 if geometry == "dales" else 7.0)
         r["mfu"] = round(conv_flops(config, batch)
                          / (r["step_time_ms"] / 1e3) / PEAK_FLOPS_BF16, 4)
+        # HBM roofline for the (bandwidth-bound) banded conv kernels:
+        # analytic DMA bytes / measured pallas self-time vs 819 GB/s
+        kt_us = r["stages"].get("pallas_kpconv")
+        if kt_us:
+            gbps = kpconv_traffic_bytes(config, plan) / (kt_us / 1e6) / 1e9
+            r["kpconv_hbm_gbps"] = round(gbps, 1)
+            r["kpconv_hbm_util"] = round(gbps * 1e9 / PEAK_HBM_BYTES, 3)
         results[geometry] = r
 
     # torch-CPU baseline comparison point: bands are irrelevant there
@@ -387,12 +455,16 @@ def main():
         "vs_baseline": round(v["points_per_sec"] / baseline, 2),
         "step_time_ms": round(v["step_time_ms"], 2),
         "mfu": v["mfu"],
+        "kpconv_hbm_gbps": v.get("kpconv_hbm_gbps"),
+        "kpconv_hbm_util": v.get("kpconv_hbm_util"),
         "real_points": v["real_points"],
         "stages_us_per_step": v["stages"],
         "dales": {
             "value": round(d["points_per_sec"], 1),
             "step_time_ms": round(d["step_time_ms"], 2),
             "mfu": d["mfu"],
+            "kpconv_hbm_gbps": d.get("kpconv_hbm_gbps"),
+            "kpconv_hbm_util": d.get("kpconv_hbm_util"),
             "real_points": d["real_points"],
         },
         "vs_reference_cpu": (round(v["points_per_sec"] / ref_baseline, 1)

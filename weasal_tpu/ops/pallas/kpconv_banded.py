@@ -18,11 +18,10 @@ the previous two-W-block scheme wasted ~2x (start quantized at W forces a
 2W window for spans <= W+1). Per tile and per 128-row block j:
 
     M_j[t, q]  = sum_k (nb[t, k] == q + start_j)    # membership, K passes
-    rel_d      = s_j[d] - q[t, d]                   # [T, 128] per axis, VPU
-    d2         = sum_d rel_d^2
-    per kernel point p:
-      d2p      = d2 - 2 sum_d rel_d * kp[p, d] + |kp_p|^2
-      A_pj     = influence(d2p) * M_j               # [T, 128]
+    cross      = -2 (qp . s_j)[t, q]                # 3 VPU outer products
+    per kernel point p (separable expansion — see _tile_geometry):
+      D_p      = a_p[t] + b_p[q] + cross           # = |s_q - qp_t - kp_p|^2
+      A_pj     = max(M_j - (M_j/ext) sqrt(D_p), 0)  # linear influence
       y_p     += A_pj @ x_j                         # MXU, no gather
     (block j skipped exactly when no neighbor lands in it)
     out        = sum_p y_p @ W_p                    # MXU
@@ -101,33 +100,69 @@ def _oob_count(nb, start_row, n_support, width):
     return oob
 
 
-def _influence_from_d2(d2p, kp_extent: float, mode: str):
-    if mode == "constant":
-        return jnp.ones_like(d2p)
-    if mode == "linear":
-        return jnp.clip(1.0 - jnp.sqrt(jnp.maximum(d2p, 0.0)) / kp_extent,
-                        0.0, None)
-    if mode == "gaussian":
-        sigma = kp_extent * 0.3
-        return jnp.exp(-jnp.maximum(d2p, 0.0) / (2 * sigma ** 2 + 1e-9))
-    raise ValueError(f"Unknown influence mode: {mode}")
+def _tile_geometry(q, kp_ref, kp):
+    """Per-tile terms of the separable distance expansion.
+
+    The kernels are VPU-throughput-bound on the influence rebuild (the
+    MXU and HBM are <2% utilized; measured conv self-time matches the
+    [T, Q]-op count at ~1 vector op/cycle). The per-kernel-point dot
+    rel . kp with rel = s - q is separable, so
+
+        |s_q - qp_t - kp_p|^2 = a_p[t] + b_p[q] - 2 (qp . s)[t, q]
+          a_p[t] = |qp_t|^2 + 2 qp_t.kp_p + |kp_p|^2      (col, [T, 1])
+          b_p[q] = |s_q|^2  - 2 s_q.kp_p                  (row, [1, Q])
+
+    replaces the per-p per-axis rebuild (5 [T,Q] ops) with rank-1
+    row/col corrections (2 [T,Q] ops) around one cross term shared by
+    all kernel points. All f32 on the VPU: exact outer products, no
+    MXU bf16-granularity trap; the expansion's cancellation error is
+    O(|coord|^2 * eps_f32) ~ 1e-4 m^2 at 18 m spheres, far below the
+    kp_extent^2 influence scale and the hardware bf16 noise floor.
+
+    Returns (qm2 [T, 3] = -2*qp, qa: per kernel point [T, 1] = a_p).
+    """
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    qn = qx * qx + qy * qy + qz * qz
+    qa = []
+    for p in range(kp):
+        kx = kp_ref[p, 0]
+        ky = kp_ref[p, 1]
+        kz = kp_ref[p, 2]
+        qa.append(qn + 2.0 * (qx * kx + qy * ky + qz * kz)
+                  + (kx * kx + ky * ky + kz * kz))
+    return -2.0 * q, qa
 
 
-def _block_geometry(q, s_block):
-    """rel_d [T, Q] per axis and d2 [T, Q] for one window block (f32)."""
-    rel = [s_block[:, d:d + 1].T - q[:, d:d + 1] for d in range(3)]
-    d2 = rel[0] * rel[0] + rel[1] * rel[1] + rel[2] * rel[2]
-    return rel, d2
+def _block_base(qm2, s_block):
+    """Shared per-block terms: cross = -2 (qp . s) [T, Q] via three VPU
+    outer products (f32-exact), support rows [1, Q] and |s|^2 [1, Q]."""
+    srow = [s_block[:, d:d + 1].T for d in range(3)]
+    sn = srow[0] * srow[0] + srow[1] * srow[1] + srow[2] * srow[2]
+    cross = (qm2[:, 0:1] * srow[0] + qm2[:, 1:2] * srow[1]
+             + qm2[:, 2:3] * srow[2])
+    return cross, srow, sn
 
 
-def _block_a(rel, d2, m, kp_ref, p, kp_extent, influence):
-    """Influence matrix A_p for one (kernel point, window block)."""
+def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32, m_ext,
+                 kp_extent: float, influence: str):
+    """Membership-weighted influence A_p for one (kernel point, block).
+
+    linear mode folds the multiply: clip(1 - sqrt(D)/ext) * m
+    == max(m - (m/ext) * sqrt(D), 0) since m >= 0 (m_ext = m/ext is
+    precomputed once per block)."""
+    if influence == "constant":
+        return m32
     kx = kp_ref[p, 0]
     ky = kp_ref[p, 1]
     kz = kp_ref[p, 2]
-    c = rel[0] * kx + rel[1] * ky + rel[2] * kz
-    d2p = d2 - 2.0 * c + (kx * kx + ky * ky + kz * kz)
-    return _influence_from_d2(d2p, kp_extent, influence) * m
+    b_p = sn - 2.0 * (srow[0] * kx + srow[1] * ky + srow[2] * kz)
+    d2p = jnp.maximum(cross + b_p + qa_p, 0.0)
+    if influence == "linear":
+        return jnp.maximum(m32 - m_ext * jnp.sqrt(d2p), 0.0)
+    if influence == "gaussian":
+        sigma = kp_extent * 0.3
+        return m32 * jnp.exp(-d2p / (2 * sigma ** 2 + 1e-9))
+    raise ValueError(f"Unknown influence mode: {influence}")
 
 
 def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
@@ -145,18 +180,22 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
     nb = nb_ref[:]
     oob_ref[:] = _oob_count(nb, start_row, n_support, n_win * QUANTUM)
     y_ref[:] = jnp.zeros_like(y_ref)
+    qm2, qa = _tile_geometry(q, kp_ref, kp)
+    inv_ext = 1.0 / kp_extent
 
     for j in range(n_win):
         block_start = start_row + j * QUANTUM
 
         @pl.when(_block_needed(nb, block_start, n_support))
         def _do_block(j=j, block_start=block_start):
-            rel, d2 = _block_geometry(q, s_refs[j][:])
-            m = _membership_block(nb, block_start, t)
+            cross, srow, sn = _block_base(qm2, s_refs[j][:])
+            m32 = _membership_block(nb, block_start, t).astype(jnp.float32)
+            m_ext = m32 * inv_ext
             x_j = x_refs[j][:].astype(mxu_dtype)
             for p in range(kp):
-                a = _block_a(rel, d2, m, kp_ref, p, kp_extent,
-                             influence).astype(mxu_dtype)
+                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p, m32,
+                                 m_ext, kp_extent,
+                                 influence).astype(mxu_dtype)
                 y_ref[p] += jnp.dot(a, x_j,
                                     preferred_element_type=jnp.float32)
 
@@ -193,6 +232,8 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
     nb = nb_ref[:]
     gm = g_ref[:].astype(mxu_dtype)
     y_ref[:] = jnp.zeros_like(y_ref)
+    qm2, qa = _tile_geometry(q, kp_ref, kp)
+    inv_ext = 1.0 / kp_extent
 
     # dr_p = g @ W_p^T is block-independent: compute once per tile
     dr = [jnp.dot(gm, w_ref[p].T, preferred_element_type=jnp.float32)
@@ -203,13 +244,15 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
 
         @pl.when(_block_needed(nb, block_start, n_support))
         def _do_block(j=j, block_start=block_start):
-            rel, d2 = _block_geometry(q, s_refs[j][:])
-            m = _membership_block(nb, block_start, t)
+            cross, srow, sn = _block_base(qm2, s_refs[j][:])
+            m32 = _membership_block(nb, block_start, t).astype(jnp.float32)
+            m_ext = m32 * inv_ext
             x_j = x_refs[j][:].astype(mxu_dtype)
             sl = pl.ds(block_start, QUANTUM)
             for p in range(kp):
-                a = _block_a(rel, d2, m, kp_ref, p, kp_extent,
-                             influence).astype(mxu_dtype)
+                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p, m32,
+                                 m_ext, kp_extent,
+                                 influence).astype(mxu_dtype)
                 dx_ref[sl, :] += jnp.dot(
                     a.T, dr[p], preferred_element_type=jnp.float32)
                 y_ref[p] += jnp.dot(a, x_j,
