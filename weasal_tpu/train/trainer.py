@@ -495,14 +495,36 @@ class ModelTrainer:
 
             # Shape-plan saturation audit: silent caps (level/neighbor/
             # region truncation) become visible in the training log
+            n_drop_steps = len(drops_pending)
             epoch_drops = float(np.sum([np.asarray(d)
                                         for d in drops_pending])) \
                 if drops_pending else 0.0
             drops_pending = []
             if epoch_drops > 0:
-                print(f"[pallas-telemetry] {int(epoch_drops)} neighbors "
-                      "dropped out-of-band this epoch — spatial sort or "
-                      "band sizing violated (auto_band undersized?)")
+                # Scale by the epoch's neighbor-slot count: calibration
+                # sizes band windows from ~40 spheres + 2 spare blocks, so
+                # a sub-1e-3 runtime tail is expected behavior (for scale:
+                # the reference's own neighborhood calibration truncates
+                # ~10% of neighborhoods by design, common.py:336-346) —
+                # only a larger fraction indicates a sizing/sort bug.
+                plan = self.plan
+                slots = sum(plan.num_points[l] * plan.conv_neighbors[l]
+                            for l in range(plan.num_layers))
+                slots += sum(plan.num_points[l + 1] * plan.pool_neighbors[l]
+                             for l in range(plan.num_layers - 1))
+                slots *= max(n_drop_steps, 1) * max(config.batch_num, 1)
+                frac = epoch_drops / max(slots, 1)
+                if frac > 1e-3:
+                    print(f"[pallas-telemetry] {int(epoch_drops)} neighbors "
+                          f"({100 * frac:.3f}% of slots) dropped "
+                          "out-of-band this epoch — spatial sort or band "
+                          "sizing violated; rerun calibration("
+                          "force_redo=True) or widen ShapePlan.bands")
+                else:
+                    print(f"[pallas-telemetry] band-window tail: "
+                          f"{int(epoch_drops)} neighbor drops this epoch "
+                          f"({100 * frac:.5f}% of slots — counted, "
+                          "within calibration's expected tail)")
             try:
                 from weasal_tpu.data.telemetry import (
                     audit_plan_saturation, format_saturation_line)
