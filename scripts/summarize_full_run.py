@@ -88,7 +88,8 @@ def main():
         for log_dir in sorted(glob.glob(os.path.join(
                 workdir, "results", stage, "Log_*"))):
             summarize_log_dir(log_dir)
-    for name in ("wl.log", "pl.log"):
+    for name in ("wl.log", "pl.log", "wl_train.log", "pl_train.log",
+                 "wl_probdump.log", "pl_eval.log"):
         path = os.path.join(workdir, name)
         if os.path.exists(path):
             with open(path) as f:
