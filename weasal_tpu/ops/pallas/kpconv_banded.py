@@ -21,7 +21,7 @@ the previous two-W-block scheme wasted ~2x (start quantized at W forces a
     cross      = -2 (qp . s_j)[t, q]                # 3 VPU outer products
     per kernel point p (separable expansion — see _tile_geometry):
       D_p      = a_p[t] + b_p[q] + cross           # = |s_q - qp_t - kp_p|^2
-      A_pj     = max(M_j - (M_j/ext) sqrt(D_p), 0)  # linear influence
+      A_pj     = M_j * max(1 - sqrt(D_p)/ext, 0)    # linear influence
       y_p     += A_pj @ x_j                         # MXU, no gather
     (block j skipped exactly when no neighbor lands in it)
     out        = sum_p y_p @ W_p                    # MXU
@@ -143,13 +143,11 @@ def _block_base(qm2, s_block):
     return cross, srow, sn
 
 
-def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32, m_ext,
+def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32,
                  kp_extent: float, influence: str):
-    """Membership-weighted influence A_p for one (kernel point, block).
-
-    linear mode folds the multiply: clip(1 - sqrt(D)/ext) * m
-    == max(m - (m/ext) * sqrt(D), 0) since m >= 0 (m_ext = m/ext is
-    precomputed once per block)."""
+    """Membership-weighted influence A_p for one (kernel point, block),
+    in the same clip(1 - sqrt(D)/ext) * m branch structure as the XLA
+    path (ops/kpconv.py) so relu-boundary subgradients track it."""
     if influence == "constant":
         return m32
     kx = kp_ref[p, 0]
@@ -158,7 +156,8 @@ def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32, m_ext,
     b_p = sn - 2.0 * (srow[0] * kx + srow[1] * ky + srow[2] * kz)
     d2p = jnp.maximum(cross + b_p + qa_p, 0.0)
     if influence == "linear":
-        return jnp.maximum(m32 - m_ext * jnp.sqrt(d2p), 0.0)
+        return m32 * jnp.maximum(
+            1.0 - (1.0 / kp_extent) * jnp.sqrt(d2p), 0.0)
     if influence == "gaussian":
         sigma = kp_extent * 0.3
         return m32 * jnp.exp(-d2p / (2 * sigma ** 2 + 1e-9))
@@ -181,7 +180,6 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
     oob_ref[:] = _oob_count(nb, start_row, n_support, n_win * QUANTUM)
     y_ref[:] = jnp.zeros_like(y_ref)
     qm2, qa = _tile_geometry(q, kp_ref, kp)
-    inv_ext = 1.0 / kp_extent
 
     for j in range(n_win):
         block_start = start_row + j * QUANTUM
@@ -190,11 +188,10 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
         def _do_block(j=j, block_start=block_start):
             cross, srow, sn = _block_base(qm2, s_refs[j][:])
             m32 = _membership_block(nb, block_start, t).astype(jnp.float32)
-            m_ext = m32 * inv_ext
             x_j = x_refs[j][:].astype(mxu_dtype)
             for p in range(kp):
-                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p, m32,
-                                 m_ext, kp_extent,
+                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
+                                 m32, kp_extent,
                                  influence).astype(mxu_dtype)
                 y_ref[p] += jnp.dot(a, x_j,
                                     preferred_element_type=jnp.float32)
@@ -233,7 +230,6 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
     gm = g_ref[:].astype(mxu_dtype)
     y_ref[:] = jnp.zeros_like(y_ref)
     qm2, qa = _tile_geometry(q, kp_ref, kp)
-    inv_ext = 1.0 / kp_extent
 
     # dr_p = g @ W_p^T is block-independent: compute once per tile
     dr = [jnp.dot(gm, w_ref[p].T, preferred_element_type=jnp.float32)
@@ -246,12 +242,11 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
         def _do_block(j=j, block_start=block_start):
             cross, srow, sn = _block_base(qm2, s_refs[j][:])
             m32 = _membership_block(nb, block_start, t).astype(jnp.float32)
-            m_ext = m32 * inv_ext
             x_j = x_refs[j][:].astype(mxu_dtype)
             sl = pl.ds(block_start, QUANTUM)
             for p in range(kp):
-                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p, m32,
-                                 m_ext, kp_extent,
+                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
+                                 m32, kp_extent,
                                  influence).astype(mxu_dtype)
                 dx_ref[sl, :] += jnp.dot(
                     a.T, dr[p], preferred_element_type=jnp.float32)
