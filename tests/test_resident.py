@@ -1,0 +1,241 @@
+"""Resident-cloud fused path: device-side gather/augment/sort equals the
+host Level0 assembly, and training/eval run end-to-end through it."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from weasal_tpu.data.datasets import Vaihingen3DWLDataset
+from weasal_tpu.data.level0 import Level0BatchSource
+from weasal_tpu.data.resident import (ResidentBatchSource,
+                                      assemble_level0_device, feature_spec)
+from weasal_tpu.data.synthetic import make_vaihingen_like_root
+from weasal_tpu.train.trainer import ModelTrainer
+from tests.test_datasets import SynthWLConfig
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    wd = tmp_path_factory.mktemp("resident")
+    root = str(wd / "Vaihingen3D")
+    make_vaihingen_like_root(root, extent=30.0, density=5.0, seed=11)
+    cfg = SynthWLConfig()
+    cfg.device_pyramid = True
+    cfg.resident_clouds = True
+    cfg.max_epoch = 1
+    cfg.epoch_steps = 2
+    cfg.validation_size = 1
+    cfg.saving = True
+    cfg.saving_path = str(wd / "log")
+    ds = Vaihingen3DWLDataset(cfg, split="training", data_root=root,
+                              rng=np.random.default_rng(0))
+    return cfg, ds, str(wd)
+
+
+def _lex(points):
+    return np.lexsort((points[:, 2], points[:, 1], points[:, 0]))
+
+
+def _assert_sphere_equal(host, dev, b, check_labels=True):
+    """Permutation-invariant equality of one sphere's level-0 rows (both
+    paths voxel-sort, but float rotation differences may flip boundary
+    voxel keys, so compare content, not order)."""
+    hm = np.asarray(host["mask0"][b])
+    dm = np.asarray(dev["mask0"][b])
+    assert hm.sum() == dm.sum()
+    hp = np.asarray(host["points0"][b])[hm]
+    dp = np.asarray(dev["points0"][b])[dm]
+    ho, do = _lex(hp), _lex(dp)
+    np.testing.assert_allclose(hp[ho], dp[do], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host["features"][b])[hm][ho],
+                               np.asarray(dev["features"][b])[dm][do],
+                               atol=1e-5)
+    if check_labels:
+        np.testing.assert_array_equal(
+            np.asarray(host["labels"][b])[hm][ho],
+            np.asarray(dev["labels"][b])[dm][do])
+
+
+def test_assemble_matches_host_no_augment(setup):
+    cfg, ds, _ = setup
+    plan = ds.calibration()
+    host_src = Level0BatchSource(ds, plan)
+    res_src = ResidentBatchSource(ds, plan)
+
+    # Same seed + augment=False -> identical sampling/theta draws (the
+    # gather=False payload skips exactly the host draws that gather=True
+    # only makes when augmenting). Sampling mutates the dataset's
+    # potentials, so restore them between the two draws.
+    import copy
+    snap = (copy.deepcopy(ds.potentials), list(ds.min_potentials),
+            list(ds.argmin_potentials))
+    host = host_src.next_batch(np.random.default_rng(42), plan,
+                               augment=False)[0]
+    ds.potentials = copy.deepcopy(snap[0])
+    ds.min_potentials = list(snap[1])
+    ds.argmin_potentials = list(snap[2])
+    small, metas = res_src.next_batch(np.random.default_rng(42), plan,
+                                      augment=False)
+    np.testing.assert_allclose(small["rotations"], host["rotations"])
+
+    spec = feature_spec(ds.name, cfg.in_features_dim)
+    dev = jax.jit(
+        lambda b: assemble_level0_device(b, cfg, plan, False, spec)
+    )({**small, **res_src.resident.arrays})
+
+    for b in range(len(metas)):
+        _assert_sphere_equal(host, dev, b)
+
+    # Region labels and membership survive the device-side remap:
+    # gather each region's member coordinates through its index list
+    for b in range(len(metas)):
+        np.testing.assert_array_equal(host["region_masks"][b],
+                                      np.asarray(dev["region_masks"][b]))
+        np.testing.assert_allclose(host["region_lb"][b],
+                                   np.asarray(dev["region_lb"][b]))
+        n0 = plan.num_points[0]
+        hp = np.vstack([np.asarray(host["points0"][b]),
+                        np.full((1, 3), 0, np.float32)])
+        dp = np.vstack([np.asarray(dev["points0"][b]),
+                        np.full((1, 3), 0, np.float32)])
+        for r in range(plan.max_regions):
+            if not host["region_masks"][b][r]:
+                continue
+            hsel = host["region_inds"][b][r]
+            dsel = np.asarray(dev["region_inds"][b][r])
+            hpts = hp[hsel][hsel < n0]
+            dpts = dp[dsel][dsel < n0]
+            assert hpts.shape == dpts.shape
+            np.testing.assert_allclose(hpts[_lex(hpts)], dpts[_lex(dpts)],
+                                       atol=1e-5)
+
+
+def test_unsort_restores_input_order(setup):
+    cfg, ds, _ = setup
+    plan = ds.calibration()
+    res_src = ResidentBatchSource(ds, plan)
+    small, metas = res_src.next_batch(np.random.default_rng(3), plan,
+                                      augment=False)
+    spec = feature_spec(ds.name, cfg.in_features_dim)
+    dev = jax.jit(
+        lambda b: assemble_level0_device(b, cfg, plan, False, spec)
+    )({**small, **res_src.resident.arrays})
+    unsort = np.asarray(dev["unsort"])
+    pts_sorted = np.asarray(dev["points0"])
+    for b, meta in enumerate(metas):
+        n = meta["n_real"]
+        back = np.take_along_axis(pts_sorted[b], unsort[b][:, None], axis=0)
+        cloud = np.asarray(ds.input_trees[meta["cloud_ind"]].data,
+                           np.float32)
+        expect = cloud[meta["input_inds"][:n]] - meta["center"]
+        np.testing.assert_allclose(back[:n], expect, atol=1e-5)
+
+
+def test_augmented_assemble_applies_params(setup):
+    cfg, ds, _ = setup
+    plan = ds.calibration()
+    res_src = ResidentBatchSource(ds, plan)
+    small, metas = res_src.next_batch(np.random.default_rng(5), plan,
+                                      augment=True)
+    spec = feature_spec(ds.name, cfg.in_features_dim)
+
+    saved_noise = cfg.augment_noise
+    cfg.augment_noise = 0.0          # exact check without jitter
+    try:
+        dev = jax.jit(
+            lambda b: assemble_level0_device(b, cfg, plan, True, spec)
+        )({**small, **res_src.resident.arrays})
+    finally:
+        cfg.augment_noise = saved_noise
+
+    unsort = np.asarray(dev["unsort"])
+    pts_sorted = np.asarray(dev["points0"])
+    for b, meta in enumerate(metas):
+        n = meta["n_real"]
+        back = np.take_along_axis(pts_sorted[b], unsort[b][:, None], axis=0)
+        cloud = np.asarray(ds.input_trees[meta["cloud_ind"]].data,
+                           np.float32)
+        raw = cloud[meta["input_inds"][:n]] - meta["center"]
+        expect = (raw @ small["aug_rot"][b]) * small["aug_scale"][b]
+        np.testing.assert_allclose(back[:n], expect, atol=1e-4)
+
+    # With jitter on, the assembly is deterministic given the same seeds
+    dev2 = jax.jit(
+        lambda b: assemble_level0_device(b, cfg, plan, True, spec)
+    )({**small, **res_src.resident.arrays})
+    dev3 = jax.jit(
+        lambda b: assemble_level0_device(b, cfg, plan, True, spec)
+    )({**small, **res_src.resident.arrays})
+    np.testing.assert_array_equal(np.asarray(dev2["points0"]),
+                                  np.asarray(dev3["points0"]))
+
+
+def test_resident_data_parallel(setup, tmp_path):
+    """Resident clouds under SPMD data parallelism: resident arrays ride
+    replicated, the small index batch shards on the sphere axis."""
+    cfg0, _, wd = setup
+    cfg = SynthWLConfig()
+    cfg.device_pyramid = True
+    cfg.resident_clouds = True
+    cfg.data_parallel_devices = 4
+    cfg.max_epoch = 1
+    cfg.epoch_steps = 2
+    cfg.validation_size = 1
+    cfg.saving = True
+    cfg.saving_path = str(tmp_path / "log_dp")
+    ds = Vaihingen3DWLDataset(cfg, split="training",
+                              data_root=os.path.join(wd, "Vaihingen3D"),
+                              rng=np.random.default_rng(2))
+    trainer = ModelTrainer(cfg, ds, stage_dir="WeakLabel")
+    assert trainer.mesh is not None and trainer._resident_spec is not None
+    trainer.train(ds, None, al_iteration=0)
+    log = os.path.join(cfg.saving_path, "training_iteration0.txt")
+    rows = open(log).readlines()[1:]
+    assert len(rows) >= 1
+    assert all(np.isfinite(float(r.split()[2])) for r in rows)
+
+
+def test_resident_training_and_validation(setup):
+    cfg, ds, wd = setup
+    trainer = ModelTrainer(cfg, ds, stage_dir="WeakLabel")
+    assert trainer._resident_spec is not None
+    val_ds = Vaihingen3DWLDataset(cfg, split="validation",
+                                  data_root=os.path.join(wd, "Vaihingen3D"),
+                                  rng=np.random.default_rng(1))
+    trainer.train(ds, val_ds, al_iteration=0)
+    log = os.path.join(cfg.saving_path, "training_iteration0.txt")
+    rows = open(log).readlines()[1:]
+    assert len(rows) >= 1
+    losses = [float(r.split()[2]) for r in rows]
+    assert all(np.isfinite(losses))
+
+
+def test_resident_voting_inference(setup, tmp_path, monkeypatch):
+    """Tester vote loop through the resident path: probs come back in
+    input_inds order and the artifact contract holds."""
+    cfg, ds, wd = setup
+    from weasal_tpu.train.tester import ModelTester
+    chkp = os.path.join(cfg.saving_path, "checkpoints", "current_chkp.tar")
+    if not os.path.exists(chkp):                   # ordering safety
+        trainer = ModelTrainer(cfg, ds, stage_dir="WeakLabel")
+        trainer.train(ds, None, al_iteration=0)
+    monkeypatch.chdir(tmp_path)
+    saved = cfg.saving_path
+    cfg.saving_path = "results/WeakLabel/Log_res"   # names the test dir
+    try:
+        test_ds = Vaihingen3DWLDataset(
+            cfg, split="test", test_on_train=True,
+            data_root=os.path.join(wd, "Vaihingen3D"),
+            rng=np.random.default_rng(4))
+        tester = ModelTester(cfg, test_ds, chkp)
+        assert tester._resident_spec is not None
+        tester.cloud_segmentation_test(test_ds, num_votes=0,
+                                       test_on_train=True,
+                                       stage_dir="WeakLabel")
+        out = os.path.join("test/WeakLabel", "Log_res")
+        assert os.path.exists(os.path.join(out, "predictions",
+                                           "Vaihingen3D_Training.ply"))
+    finally:
+        cfg.saving_path = saved

@@ -137,6 +137,12 @@ class Config:
     use_pallas_search = "auto"
     pallas_band = 0                  # band half-window W rows (0 = auto,
                                      # sized per level from the plan)
+    # Device-resident clouds for the fused path: upload each split's
+    # clouds once, ship per-sphere indices + augmentation params, and
+    # gather/augment/sort in-jit (weasal_tpu/data/resident.py). ~8x less
+    # H2D traffic per step and far less host work. "auto" = on when the
+    # backend is a real TPU and device_pyramid is set.
+    resident_clouds = "auto"
 
     # Keys that Config.save() writes under "# Other parameters" only when set
     _OPTIONAL_KEYS = (

@@ -394,10 +394,12 @@ class CloudSegmentationDataset:
     # Augmentation (reference datasets/common.py:252-334)
     # ------------------------------------------------------------------
 
-    def augmentation_transform(self, points, rng):
+    def augmentation_params(self, rng, dim: int = 3):
+        """Rotation + scale draws shared by the host transform and the
+        resident-cloud path (which applies them on device)."""
         cfg = self.config
-        R = np.eye(points.shape[1], dtype=np.float32)
-        if points.shape[1] == 3:
+        R = np.eye(dim, dtype=np.float32)
+        if dim == 3:
             if cfg.augment_rotation == "vertical":
                 theta = rng.random() * 2 * np.pi
                 c, s = np.cos(theta), np.sin(theta)
@@ -413,14 +415,17 @@ class CloudSegmentationDataset:
 
         min_s, max_s = cfg.augment_scale_min, cfg.augment_scale_max
         if cfg.augment_scale_anisotropic:
-            scale = rng.random(points.shape[1]) * (max_s - min_s) + min_s
+            scale = rng.random(dim) * (max_s - min_s) + min_s
         else:
-            scale = np.full(points.shape[1],
-                            rng.random() * (max_s - min_s) + min_s)
+            scale = np.full(dim, rng.random() * (max_s - min_s) + min_s)
         symmetries = np.array(cfg.augment_symmetries).astype(np.int32)
-        symmetries = symmetries * rng.integers(2, size=points.shape[1])
+        symmetries = symmetries * rng.integers(2, size=dim)
         scale = (scale * (1 - symmetries * 2)).astype(np.float32)
+        return scale, R
 
+    def augmentation_transform(self, points, rng):
+        cfg = self.config
+        scale, R = self.augmentation_params(rng, points.shape[1])
         noise = (rng.standard_normal(points.shape)
                  * cfg.augment_noise).astype(np.float32)
         augmented = (points @ R) * scale + noise
@@ -434,8 +439,16 @@ class CloudSegmentationDataset:
         raise NotImplementedError
 
     def sample_sphere(self, rng, augment: bool = True,
-                      max_points: int = 0) -> Dict:
-        """Draw one input sphere; returns the payload dict for batching."""
+                      max_points: int = 0, gather: bool = True) -> Dict:
+        """Draw one input sphere; returns the payload dict for batching.
+
+        With ``gather=False`` (the resident-cloud fused path,
+        weasal_tpu/data/resident.py) the per-point payload columns
+        (points/features/labels) are skipped — the device gathers them
+        from the resident arrays — and the payload instead carries the
+        augmentation parameters (`rot`, `scale`, `color_keep`); sampling,
+        potential updates, thinning and region resolution are identical.
+        """
         cfg = self.config
         for _attempt in range(100 * max(cfg.batch_num, 1)):
             if self.use_potentials:
@@ -472,12 +485,42 @@ class CloudSegmentationDataset:
                 regions = new_regions
             input_inds = input_inds[keep]
 
+        has_labels = not ((self.split in ("test",) and not self.test_on_train)
+                          or self.split == "ERF")
+
+        if not gather:
+            # Resident-cloud path: device gathers points/labels/colors and
+            # builds features (resident.assemble_level0_device); here only
+            # the augmentation parameters and the cloud label are drawn.
+            cloud_lb = None
+            if has_labels:
+                raw_present = np.unique(
+                    self.input_labels[cloud_ind][input_inds])
+                cloud_lb = np.zeros(cfg.num_classes, np.float32)
+                for l in raw_present:
+                    idx = self.label_to_idx[l]
+                    if 0 <= idx < cfg.num_classes:
+                        cloud_lb[idx] = 1
+            if augment and self.split == "training":
+                scale, R = self.augmentation_params(rng)
+            else:
+                scale, R = np.ones(3, np.float32), np.eye(3, dtype=np.float32)
+            color_keep = 1.0
+            if (self.input_colors[cloud_ind] is not None
+                    and self.split == "training"
+                    and rng.random() > cfg.augment_color):
+                color_keep = 0.0
+            return dict(points=None, features=None, labels=None,
+                        input_inds=input_inds, cloud_ind=cloud_ind,
+                        center=center[0].astype(np.float32),
+                        cloud_lb=cloud_lb, regions=regions, scale=scale,
+                        rot=R, color_keep=color_keep)
+
         input_points = (points[input_inds] - center).astype(np.float32)
         colors = (self.input_colors[cloud_ind][input_inds]
                   if self.input_colors[cloud_ind] is not None else None)
 
-        if (self.split in ("test",) and not self.test_on_train) \
-                or self.split == "ERF":
+        if not has_labels:
             labels = None
             cloud_lb = None
         else:

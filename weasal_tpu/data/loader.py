@@ -33,7 +33,8 @@ class BatchPrefetcher:
                  augment: Optional[bool] = None,
                  num_spheres: Optional[int] = None,
                  to_device: bool = True,
-                 sharding=None):
+                 sharding=None,
+                 extra_arrays: Optional[dict] = None):
         self.dataset = dataset
         self.plan = plan
         self.num_batches = num_batches
@@ -42,6 +43,10 @@ class BatchPrefetcher:
         self.num_spheres = num_spheres
         self.to_device = to_device
         self.sharding = sharding
+        # Already-on-device arrays merged into every produced dict batch
+        # AFTER the device_put (resident clouds — must not be re-put, and
+        # must keep their replicated sharding under data parallelism)
+        self.extra_arrays = extra_arrays
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._error = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
@@ -62,6 +67,8 @@ class BatchPrefetcher:
                         batch = jax.device_put(batch, self.sharding)
                     else:
                         batch = jax.device_put(batch)
+                if self.extra_arrays is not None and isinstance(batch, dict):
+                    batch = {**batch, **self.extra_arrays}
                 self._queue.put((batch, metas))
         except BaseException as e:                     # surface in consumer
             self._error = e

@@ -25,6 +25,7 @@ from os.path import join
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from weasal_tpu.train.trainer import TrainState, _model_for_config
@@ -58,10 +59,26 @@ class ModelTester:
         print("Model and training state restored.")
 
         model, mmode, plan = self.model, self.mode, self.plan
+        from weasal_tpu.utils.platform import resolve_pallas_flag
+        self._resident_spec = None
+        if resolve_pallas_flag(
+                getattr(config, "resident_clouds", "auto"),
+                bool(getattr(config, "device_pyramid", False))):
+            from weasal_tpu.data.resident import feature_spec
+            self._resident_spec = feature_spec(
+                dataset.name, config.in_features_dim)
+        spec = self._resident_spec
 
         @jax.jit
         def eval_step(state, batch):
+            unsort = None
             if isinstance(batch, dict):
+                if "flat_inds" in batch:
+                    from weasal_tpu.data.resident import (
+                        assemble_level0_device)
+                    batch = assemble_level0_device(
+                        batch, config, plan, augment=False, spec=spec)
+                    unsort = batch.pop("unsort")
                 # Fused path: level-0 arrays in, pyramid built in-jit (same
                 # program shape as the fused train step)
                 from weasal_tpu.ops.pyramid import batch_from_device_pyramid
@@ -79,7 +96,11 @@ class ModelTester:
                          "batch_stats": state.batch_stats}
             out = model.apply(variables, batch, train=False)
             logits = out[0] if mmode == "weak" else out
-            return jax.nn.softmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            if unsort is not None:
+                # back to input_inds order for the host-side vote scatter
+                probs = jnp.take_along_axis(probs, unsort[..., None], axis=1)
+            return probs
 
         self._eval_step = eval_step
 
@@ -128,26 +149,45 @@ class ModelTester:
         t_last = time.time()
 
         from weasal_tpu.data.loader import BatchPrefetcher
+        extra_arrays = None
         if getattr(config, "device_pyramid", False):
-            from weasal_tpu.data.level0 import Level0BatchSource
-            batch_source = Level0BatchSource(dataset, self.plan)
+            if self._resident_spec is not None:
+                from weasal_tpu.data.resident import ResidentBatchSource
+                batch_source = ResidentBatchSource(dataset, self.plan)
+                extra_arrays = batch_source.resident.arrays
+            else:
+                from weasal_tpu.data.level0 import Level0BatchSource
+                batch_source = Level0BatchSource(dataset, self.plan)
         else:
             batch_source = dataset
 
         while True:
             prefetcher = BatchPrefetcher(batch_source, self.plan,
                                          config.validation_size, rng=rng,
-                                         augment=False)
+                                         augment=False,
+                                         extra_arrays=extra_arrays)
             for i, (batch, metas) in enumerate(prefetcher):
                 probs_all = np.asarray(self._eval_step(self.state, batch))
-                points_all = np.asarray(batch["points0"]
-                                        if isinstance(batch, dict)
-                                        else batch.points[0])
+                if extra_arrays is not None:
+                    # probs come back in input_inds order; points for the
+                    # radius mask are the host's own cloud rows (no
+                    # augmentation on eval splits, so identical to the
+                    # device's pre-sort geometry)
+                    points_all = None
+                else:
+                    points_all = np.asarray(batch["points0"]
+                                            if isinstance(batch, dict)
+                                            else batch.points[0])
                 for b, meta in enumerate(metas):
                     n = meta["n_real"]
                     probs = probs_all[b, :n]
-                    pts = points_all[b, :n]
                     inds = meta["input_inds"][:n]
+                    if points_all is None:
+                        cloud = np.asarray(
+                            dataset.input_trees[meta["cloud_ind"]].data)
+                        pts = cloud[inds] - meta["center"]
+                    else:
+                        pts = points_all[b, :n]
                     if 0 < test_radius_ratio < 1:
                         inside = np.sum(pts ** 2, axis=1) < \
                             (test_radius_ratio * config.in_radius) ** 2

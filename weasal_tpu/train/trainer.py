@@ -158,6 +158,19 @@ class ModelTrainer:
         self.class_w = (jnp.asarray(np.asarray(config.class_w, np.float32))
                         if len(config.class_w) else None)
 
+        # Resident-cloud fused path: clouds stay on device, the host ships
+        # sphere indices + augmentation params and the level-0 assembly
+        # runs inside the jit (weasal_tpu/data/resident.py). "auto" = on
+        # for real TPU backends (where H2D traffic is the scarce resource).
+        from weasal_tpu.utils.platform import resolve_pallas_flag
+        self._resident_spec = None
+        if resolve_pallas_flag(
+                getattr(config, "resident_clouds", "auto"),
+                bool(getattr(config, "device_pyramid", False))):
+            from weasal_tpu.data.resident import feature_spec
+            self._resident_spec = feature_spec(
+                dataset.name, config.in_features_dim)
+
         # Initialize variables on one example batch
         rng = np.random.default_rng(0)
         batch, _ = dataset.next_batch(rng, self.plan)
@@ -223,11 +236,20 @@ class ModelTrainer:
         num_classes = config.num_classes
         device_pyramid = bool(getattr(config, "device_pyramid", False))
         plan = self.plan
+        spec = self._resident_spec
 
         @partial(jax.jit, static_argnames=("use_contrast",))
         def train_step(state: TrainState, batch, lr, dropout_rng,
                        use_contrast: bool = False):
             if device_pyramid:
+                if "flat_inds" in batch:
+                    # Resident-cloud path: gather/augment/sort the spheres
+                    # from the on-device clouds first
+                    from weasal_tpu.data.resident import (
+                        assemble_level0_device)
+                    batch = assemble_level0_device(
+                        batch, config, plan, augment=True, spec=spec)
+                    batch.pop("unsort")
                 # `batch` is a level-0 array dict; build the whole pyramid
                 # on device so the step is one compiled program
                 from weasal_tpu.ops.pyramid import batch_from_device_pyramid
@@ -321,10 +343,21 @@ class ModelTrainer:
     def _build_eval_step(self):
         model, mode, config = self.model, self.mode, self.config
         plan = self.plan
+        spec = self._resident_spec
 
         @jax.jit
         def eval_step(state: TrainState, batch):
+            unsort = None
             if isinstance(batch, dict):
+                if "flat_inds" in batch:
+                    from weasal_tpu.data.resident import (
+                        assemble_level0_device)
+                    batch = assemble_level0_device(
+                        batch, config, plan, augment=False, spec=spec)
+                    # Device assembly voxel-sorts the sphere; outputs are
+                    # gathered back to input_inds order for the host
+                    unsort = batch.pop("unsort")
+                labels = batch["labels"]
                 # Fused path: level-0 arrays in, pyramid built in-jit
                 from weasal_tpu.ops.pyramid import batch_from_device_pyramid
                 batch = batch_from_device_pyramid(
@@ -336,9 +369,15 @@ class ModelTrainer:
                     region_masks=batch["region_masks"],
                     region_point_masks=batch["region_point_masks"],
                     region_lb=batch["region_lb"])
+            else:
+                labels = batch.labels
             out = model.apply(self._variables(state), batch, train=False)
             logits = out[0] if mode == "weak" else out
-            return jax.nn.softmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            if unsort is not None:
+                probs = jnp.take_along_axis(probs, unsort[..., None], axis=1)
+                labels = jnp.take_along_axis(labels, unsort, axis=1)
+            return probs, labels
 
         return eval_step
 
@@ -426,11 +465,19 @@ class ModelTrainer:
         from weasal_tpu.data.loader import (
             BatchPrefetcher, ParallelSphereBuilder)
         threads = max(int(getattr(config, "input_threads", 1) or 1), 1)
+        extra_arrays = None
         if getattr(config, "device_pyramid", False):
-            # Fused path: the host only pads level-0 arrays; the pyramid is
-            # built inside the jitted step
-            from weasal_tpu.data.level0 import Level0BatchSource
-            batch_source = Level0BatchSource(train_dataset, self.plan)
+            if self._resident_spec is not None:
+                # Clouds live on device; the host ships indices + params
+                from weasal_tpu.data.resident import ResidentBatchSource
+                batch_source = ResidentBatchSource(
+                    train_dataset, self.plan, mesh=self.mesh)
+                extra_arrays = batch_source.resident.arrays
+            else:
+                # Fused path: the host only pads level-0 arrays; the
+                # pyramid is built inside the jitted step
+                from weasal_tpu.data.level0 import Level0BatchSource
+                batch_source = Level0BatchSource(train_dataset, self.plan)
         elif threads > 1:
             batch_source = ParallelSphereBuilder(
                 train_dataset, max_workers=min(threads, 8))
@@ -450,7 +497,8 @@ class ModelTrainer:
             self.step = 0
             prefetcher = BatchPrefetcher(batch_source, self.plan,
                                          config.epoch_steps, rng=rng,
-                                         sharding=sharding)
+                                         sharding=sharding,
+                                         extra_arrays=extra_arrays)
             for batch, _ in prefetcher:
                 if config.saving and pid_file and not exists(pid_file):
                     prefetcher.close()
@@ -560,6 +608,13 @@ class ModelTrainer:
                     exists(pid_file):
                 os.remove(pid_file)
 
+        if config.saving and not exists(join(chkp_dir, "current_chkp.tar")):
+            # Resumed at/after max_epoch: no epoch ran in this run dir, but
+            # downstream stages (AL voting, PL init) restore from it
+            self.save_checkpoint(chkp_dir)
+        if pid_file and exists(pid_file) and self.epoch >= config.max_epoch:
+            os.remove(pid_file)
+
         print("Finished Training")
 
     def _log_header(self, train_dataset, al_iteration) -> str:
@@ -628,9 +683,19 @@ class ModelTrainer:
 
         predictions, targets = [], []
         from weasal_tpu.data.loader import BatchPrefetcher
+        val_extra = None
         if getattr(config, "device_pyramid", False):
-            from weasal_tpu.data.level0 import Level0BatchSource
-            val_source = Level0BatchSource(val_dataset, self.plan)
+            if self._resident_spec is not None:
+                from weasal_tpu.data.resident import ResidentBatchSource
+                if not hasattr(self, "_val_resident_source") or \
+                        self._val_resident_source.dataset is not val_dataset:
+                    self._val_resident_source = ResidentBatchSource(
+                        val_dataset, self.plan, mesh=self.mesh)
+                val_source = self._val_resident_source
+                val_extra = val_source.resident.arrays
+            else:
+                from weasal_tpu.data.level0 import Level0BatchSource
+                val_source = Level0BatchSource(val_dataset, self.plan)
         else:
             val_source = val_dataset
         val_sharding = None
@@ -639,12 +704,12 @@ class ModelTrainer:
             val_sharding = batch_sharding(self.mesh)
         prefetcher = BatchPrefetcher(val_source, self.plan,
                                      config.validation_size, rng=rng,
-                                     augment=False, sharding=val_sharding)
+                                     augment=False, sharding=val_sharding,
+                                     extra_arrays=val_extra)
         for batch, metas in prefetcher:
-            probs_all = np.asarray(self._eval_step(self.state, batch))
-            labels_all = np.asarray(batch["labels"]
-                                    if isinstance(batch, dict)
-                                    else batch.labels)
+            probs_dev, labels_dev = self._eval_step(self.state, batch)
+            probs_all = np.asarray(probs_dev)
+            labels_all = np.asarray(labels_dev)
             for b, meta in enumerate(metas):
                 n = meta["n_real"]
                 probs = probs_all[b, :n]
