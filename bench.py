@@ -98,12 +98,15 @@ def build_bench_problem(geometry: str = "vaihingen",
     density = 7.0
     if geometry == "dales":
         # DALES: 16 m spheres, 0.4 m voxels, denser ALS returns, 2-sphere
-        # batches (train_DALES_WeakLabel.py:139-176)
+        # batches, 128-wide first features with 3 input features
+        # (train_DALES_WeakLabel.py:116-176)
         config.dataset = "DALES_WL"
         config.num_classes = 8
         config.in_radius = 16.0
         config.first_subsampling_dl = 0.4
         config.batch_num = 2
+        config.in_features_dim = 3
+        config.first_features_dim = 128
         density = 12.0
 
     from weasal_tpu.data.demo import demo_batch
@@ -247,11 +250,19 @@ def kpconv_traffic_bytes(config, plan):
 
 
 def make_fused_step(config, plan, seed=0, density=7.0):
-    """Build (fused_step_fn, state, device arrays) for the WL problem."""
+    """Build (fused_step_fn, state, device arrays) for the WL problem.
+
+    The step is the SHIPPED training program: in-jit resident-cloud
+    level-0 assembly (gather + augmentation + feature build + voxel
+    sort, weasal_tpu/data/resident.py) + device pyramid + forward +
+    loss + backward + SGD. The host-side input is what the real input
+    pipeline ships per step: [B,N0] indices and per-sphere parameters.
+    """
     import jax
     import optax
     from weasal_tpu.data.demo import demo_sphere
-    from weasal_tpu.data.level0 import assemble_level0
+    from weasal_tpu.data.resident import (
+        assemble_level0_device, feature_spec, resident_from_payloads)
     from weasal_tpu.models import losses
     from weasal_tpu.models.architectures import KPFCNN_mprm
     from weasal_tpu.models.init import jit_init
@@ -262,19 +273,24 @@ def make_fused_step(config, plan, seed=0, density=7.0):
     payloads = [demo_sphere(rng, config, density=density)
                 for _ in range(config.batch_num)]
     _thin_payloads(payloads, plan, rng)
-    arrays = assemble_level0(payloads, plan, config.num_classes, rng)
+    resident, arrays = resident_from_payloads(payloads, plan, config, rng)
+    arrays = {**arrays, **resident}
+    spec = feature_spec(config.dataset, config.in_features_dim)
 
     model = KPFCNN_mprm(config, tuple(range(config.num_classes)), ())
 
     def to_batch(arrays):
+        assembled = assemble_level0_device(arrays, config, plan,
+                                           augment=True, spec=spec)
         return batch_from_device_pyramid(
-            arrays["points0"], arrays["mask0"], arrays["features"],
-            arrays["labels"], config, plan, arrays["center_pts"],
-            rotations=arrays["rotations"], cloud_lb=arrays["cloud_lb"],
-            region_inds=arrays["region_inds"],
-            region_masks=arrays["region_masks"],
-            region_point_masks=arrays["region_point_masks"],
-            region_lb=arrays["region_lb"])
+            assembled["points0"], assembled["mask0"],
+            assembled["features"], assembled["labels"], config, plan,
+            assembled["center_pts"], rotations=assembled["rotations"],
+            cloud_lb=assembled["cloud_lb"],
+            region_inds=assembled["region_inds"],
+            region_masks=assembled["region_masks"],
+            region_point_masks=assembled["region_point_masks"],
+            region_lb=assembled["region_lb"])
 
     variables = jit_init(model, jax.random.PRNGKey(0),
                          jax.jit(to_batch)(arrays))
@@ -340,7 +356,8 @@ def bench_fused_step(config, plan, steps=10,
     stages = {k: round(v, 1) for k, v in
               stage_breakdown(trace_dir, len(times)).items()}
 
-    real_points = int(np.asarray(arrays["mask0"]).sum())
+    shadow = arrays["res_points"].shape[0] - 1
+    real_points = int((np.asarray(arrays["flat_inds"]) < shadow).sum())
     return dict(
         points_per_sec=real_points / (step_us / 1e6),
         step_time_ms=step_us / 1e3,
@@ -368,7 +385,7 @@ def bench_torch_cpu_baseline(config, batch, steps=3):
 
     kp = config.num_kernel_points
     tensors = []
-    for (lvl, cin, cout) in wl_conv_plan(config):
+    for (lvl, cin, cout, _edge) in wl_conv_plan(config):
         n, k = levels[min(lvl, len(levels) - 1)]
         neighb = torch.from_numpy(
             rng.integers(0, n, size=(n, k)).astype(np.int64))

@@ -25,10 +25,16 @@ class DALESWLConfig(Vaihingen3DWLConfig):
     sub_radius = 5
     first_subsampling_dl = 0.4
     in_features_dim = 3
+    first_features_dim = 128
+    # The reference's DALES config flips BN momentum to 0.98 (torch
+    # convention: running stats ~= current batch) while Vaihingen uses
+    # 0.02 — reference train_DALES_WeakLabel.py:116-125
+    batch_norm_momentum = 0.98
 
     max_epoch = 100
     batch_num = 2
     epoch_steps = 400
+    checkpoint_gap = 50
 
     augment_scale_min = 0.9
     augment_scale_max = 1.1

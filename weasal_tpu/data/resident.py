@@ -131,76 +131,126 @@ class ResidentBatchSource:
     def next_batch(self, rng, plan=None, num_spheres=None, augment=None):
         plan = plan or self.plan
         ds = self.dataset
-        cfg = ds.config
-        B = num_spheres or cfg.batch_num
+        B = num_spheres or ds.config.batch_num
         if augment is None:
             augment = ds.split == "training"
         payloads = [ds.sample_sphere(rng, augment=augment,
                                      max_points=plan.num_points[0],
                                      gather=False)
                     for _ in range(B)]
-
+        arrays = pack_payloads(payloads, plan, ds.config, rng,
+                               base=self.resident.base,
+                               shadow=self.resident.shadow)
         n0 = plan.num_points[0]
-        R, P = max(plan.max_regions, 1), max(plan.max_region_points, 1)
-        C = cfg.num_classes
-
-        flat_inds = np.full((B, n0), self.resident.shadow, np.int32)
-        centers = np.zeros((B, 3), np.float32)
-        cloud_lb = np.zeros((B, C), np.float32)
-        aug_rot = np.zeros((B, 3, 3), np.float32)
-        aug_scale = np.ones((B, 3), np.float32)
-        color_keep = np.ones(B, np.float32)
-        region_inds = np.full((B, R, P), n0, np.int32)
-        region_masks = np.zeros((B, R), bool)
-        region_point_masks = np.zeros((B, R, P), bool)
-        region_lb = np.zeros((B, R, C), np.float32)
-
-        # Grid rotations for voxel de-aliasing — same draw (and same rng
-        # stream position) as level0.assemble_level0
-        theta = rng.random(B) * 2 * np.pi
-        noise_seed = rng.integers(0, 2 ** 31, size=B).astype(np.uint32)
-        c, s = np.cos(theta), np.sin(theta)
-        rotations = np.zeros((B, 3, 3), np.float32)
-        rotations[:, 0, 0] = c
-        rotations[:, 0, 1] = -s
-        rotations[:, 1, 0] = s
-        rotations[:, 1, 1] = c
-        rotations[:, 2, 2] = 1.0
-
-        for b, p in enumerate(payloads):
-            inds = p["input_inds"]
-            k = min(inds.shape[0], n0)
-            flat_inds[b, :k] = self.resident.base[p["cloud_ind"]] + inds[:k]
-            centers[b] = p["center"]
-            if p.get("cloud_lb") is not None:
-                cloud_lb[b] = p["cloud_lb"]
-            aug_rot[b] = p["rot"]
-            aug_scale[b] = p["scale"]
-            color_keep[b] = p.get("color_keep", 1.0)
-            for ri, (rinds, lb) in enumerate((p.get("regions") or [])[:R]):
-                rinds = np.asarray(rinds, dtype=np.int64)
-                rinds = rinds[rinds < k]
-                if rinds.size == 0:
-                    continue
-                if rinds.size > P:
-                    rinds = rng.choice(rinds, size=P, replace=False)
-                region_inds[b, ri, :rinds.size] = rinds
-                region_point_masks[b, ri, :rinds.size] = True
-                region_masks[b, ri] = True
-                region_lb[b, ri] = lb
-
-        arrays = dict(flat_inds=flat_inds, center_pts=centers,
-                      cloud_lb=cloud_lb, rotations=rotations,
-                      aug_rot=aug_rot, aug_scale=aug_scale,
-                      color_keep=color_keep, noise_seed=noise_seed,
-                      region_inds=region_inds, region_masks=region_masks,
-                      region_point_masks=region_point_masks,
-                      region_lb=region_lb)
         metas = [dict(cloud_ind=p["cloud_ind"],
                       input_inds=p["input_inds"], center=p["center"],
                       n_real=min(p["input_inds"].shape[0], n0))
                  for p in payloads]
         return arrays, metas
+
+
+def pack_payloads(payloads, plan: ShapePlan, config, rng,
+                  base: np.ndarray, shadow: int) -> Dict:
+    """Pack gather-less sphere payloads into the small per-step arrays the
+    device assembly consumes (`flat_inds` + augmentation parameters +
+    region tables). `base[cloud_ind] + input_inds` addresses rows of the
+    resident flat arrays; `shadow` pads."""
+    B = len(payloads)
+    n0 = plan.num_points[0]
+    R, P = max(plan.max_regions, 1), max(plan.max_region_points, 1)
+    C = config.num_classes
+
+    flat_inds = np.full((B, n0), shadow, np.int32)
+    centers = np.zeros((B, 3), np.float32)
+    cloud_lb = np.zeros((B, C), np.float32)
+    aug_rot = np.zeros((B, 3, 3), np.float32)
+    aug_scale = np.ones((B, 3), np.float32)
+    color_keep = np.ones(B, np.float32)
+    region_inds = np.full((B, R, P), n0, np.int32)
+    region_masks = np.zeros((B, R), bool)
+    region_point_masks = np.zeros((B, R, P), bool)
+    region_lb = np.zeros((B, R, C), np.float32)
+
+    # Grid rotations for voxel de-aliasing — same draw (and same rng
+    # stream position) as level0.assemble_level0
+    theta = rng.random(B) * 2 * np.pi
+    noise_seed = rng.integers(0, 2 ** 31, size=B).astype(np.uint32)
+    c, s = np.cos(theta), np.sin(theta)
+    rotations = np.zeros((B, 3, 3), np.float32)
+    rotations[:, 0, 0] = c
+    rotations[:, 0, 1] = -s
+    rotations[:, 1, 0] = s
+    rotations[:, 1, 1] = c
+    rotations[:, 2, 2] = 1.0
+
+    for b, p in enumerate(payloads):
+        inds = p["input_inds"]
+        k = min(inds.shape[0], n0)
+        flat_inds[b, :k] = base[p["cloud_ind"]] + inds[:k]
+        centers[b] = p["center"]
+        if p.get("cloud_lb") is not None:
+            cloud_lb[b] = p["cloud_lb"]
+        aug_rot[b] = p["rot"]
+        aug_scale[b] = p["scale"]
+        color_keep[b] = p.get("color_keep", 1.0)
+        for ri, (rinds, lb) in enumerate((p.get("regions") or [])[:R]):
+            rinds = np.asarray(rinds, dtype=np.int64)
+            rinds = rinds[rinds < k]
+            if rinds.size == 0:
+                continue
+            if rinds.size > P:
+                rinds = rng.choice(rinds, size=P, replace=False)
+            region_inds[b, ri, :rinds.size] = rinds
+            region_point_masks[b, ri, :rinds.size] = True
+            region_masks[b, ri] = True
+            region_lb[b, ri] = lb
+
+    return dict(flat_inds=flat_inds, center_pts=centers,
+                cloud_lb=cloud_lb, rotations=rotations,
+                aug_rot=aug_rot, aug_scale=aug_scale,
+                color_keep=color_keep, noise_seed=noise_seed,
+                region_inds=region_inds, region_masks=region_masks,
+                region_point_masks=region_point_masks,
+                region_lb=region_lb)
+
+
+def resident_from_payloads(payloads, plan: ShapePlan, config, rng):
+    """Fabricate resident cloud arrays + a packed index batch from
+    standalone sphere payloads (bench / dryrun path, no dataset object).
+
+    Each payload becomes its own tiny "cloud" in the flat resident
+    arrays; color0 (when the feature spec needs it) is lifted from the
+    payload's feature column 1, matching data/demo.py's layout.
+    Returns (resident_arrays, packed_arrays) — merge the two dicts and
+    call `assemble_level0_device` in-jit.
+    """
+    n0 = plan.num_points[0]
+    sizes = [min(p["points"].shape[0], n0) for p in payloads]
+    base = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int64)
+    S = int(sum(sizes)) + 1                      # +1 trailing shadow row
+    pts = np.zeros((S, 3), np.float32)
+    labels = np.full(S, -1, np.int32)
+    needs_color = "color0" in feature_spec(config.dataset,
+                                           config.in_features_dim)
+    colors = np.zeros((S, 1), np.float32) if needs_color else None
+    for b, p in enumerate(payloads):
+        k = sizes[b]
+        lo = int(base[b])
+        pts[lo:lo + k] = p["points"][:k] + p["center"]
+        labels[lo:lo + k] = p["labels"][:k]
+        if colors is not None:
+            colors[lo:lo + k] = p["features"][:k, 1:2]
+        p.setdefault("cloud_ind", b)
+        p.setdefault("input_inds", np.arange(k))
+        p.setdefault("rot", np.eye(3, dtype=np.float32))
+        p.setdefault("scale", np.ones(3, np.float32))
+        p.setdefault("color_keep", 1.0)
+    arrays = pack_payloads(payloads, plan, config, rng,
+                           base=base, shadow=S - 1)
+    resident = {"res_points": pts, "res_labels": labels}
+    if colors is not None:
+        resident["res_colors"] = colors
+    return resident, arrays
 
 
 # ----------------------------------------------------------------------
