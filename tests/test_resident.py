@@ -212,6 +212,43 @@ def test_resident_training_and_validation(setup):
     assert all(np.isfinite(losses))
 
 
+def test_device_vote_accumulator_matches_host(setup):
+    """In-jit vote smoothing (radius mask + sequential per-sphere EMA)
+    reproduces the reference's host-side update (tester_WeakLabel.py's
+    test_probs loop) to float tolerance."""
+    cfg, ds, _ = setup
+    plan = ds.calibration()
+    res_src = ResidentBatchSource(ds, plan)
+    from weasal_tpu.train.vote import DeviceVoteAccumulator
+
+    nc = cfg.num_classes
+    r_sq = (0.7 * cfg.in_radius) ** 2
+    acc = DeviceVoteAccumulator(res_src.resident, nc, smooth=0.95,
+                                radius_sq=r_sq)
+    host_probs = [np.zeros((n, nc), np.float64)
+                  for n in res_src.resident.sizes]
+    rng = np.random.default_rng(9)
+    n0 = plan.num_points[0]
+    for it in range(3):
+        small, metas = res_src.next_batch(rng, plan, augment=False)
+        probs = np.random.default_rng(100 + it).random(
+            (len(metas), n0, nc)).astype(np.float32)
+        acc.update(probs, {**small, **res_src.resident.arrays})
+        for b, meta in enumerate(metas):
+            n = meta["n_real"]
+            p = probs[b, :n]
+            inds = meta["input_inds"][:n]
+            cloud = np.asarray(ds.input_trees[meta["cloud_ind"]].data,
+                               np.float32)
+            pts = cloud[inds] - meta["center"].astype(np.float32)
+            inside = np.sum(pts ** 2, axis=1) < r_sq
+            keep = inds[inside]
+            cp = host_probs[meta["cloud_ind"]]
+            cp[keep] = 0.95 * cp[keep] + 0.05 * p[inside]
+    for h, d in zip(host_probs, acc.materialize()):
+        np.testing.assert_allclose(d, h, atol=1e-5)
+
+
 def test_resident_voting_inference(setup, tmp_path, monkeypatch):
     """Tester vote loop through the resident path: probs come back in
     input_inds order and the artifact contract holds."""

@@ -78,6 +78,7 @@ class ResidentClouds:
         colors = np.zeros((S, ccol), np.float32) if has_colors else None
 
         self.base = np.arange(n_clouds, dtype=np.int64) * nmax
+        self.sizes = [c.shape[0] for c in clouds]
         self.shadow = S - 1
         for i, c in enumerate(clouds):
             b = int(self.base[i])

@@ -150,11 +150,21 @@ class ModelTester:
 
         from weasal_tpu.data.loader import BatchPrefetcher
         extra_arrays = None
+        vote_acc = None
         if getattr(config, "device_pyramid", False):
             if self._resident_spec is not None:
                 from weasal_tpu.data.resident import ResidentBatchSource
+                from weasal_tpu.train.vote import DeviceVoteAccumulator
                 batch_source = ResidentBatchSource(dataset, self.plan)
                 extra_arrays = batch_source.resident.arrays
+                r_sq = None
+                if 0 < test_radius_ratio < 1:
+                    r_sq = (test_radius_ratio * config.in_radius) ** 2
+                # Full-cloud vote buffers stay on device: nothing is
+                # fetched per batch, the loop is sampling-bound
+                vote_acc = DeviceVoteAccumulator(
+                    batch_source.resident, nc_model, smooth=test_smooth,
+                    radius_sq=r_sq)
             else:
                 from weasal_tpu.data.level0 import Level0BatchSource
                 batch_source = Level0BatchSource(dataset, self.plan)
@@ -167,36 +177,31 @@ class ModelTester:
                                          augment=False,
                                          extra_arrays=extra_arrays)
             for i, (batch, metas) in enumerate(prefetcher):
-                probs_all = np.asarray(self._eval_step(self.state, batch))
-                if extra_arrays is not None:
-                    # probs come back in input_inds order; points for the
-                    # radius mask are the host's own cloud rows (no
-                    # augmentation on eval splits, so identical to the
-                    # device's pre-sort geometry)
-                    points_all = None
+                probs_dev = self._eval_step(self.state, batch)
+                if vote_acc is not None:
+                    # probs are already back in input_inds order; the
+                    # radius mask and smoothing run in-jit against the
+                    # resident cloud rows
+                    vote_acc.update(probs_dev, batch)
                 else:
+                    probs_all = np.asarray(probs_dev)
                     points_all = np.asarray(batch["points0"]
                                             if isinstance(batch, dict)
                                             else batch.points[0])
-                for b, meta in enumerate(metas):
-                    n = meta["n_real"]
-                    probs = probs_all[b, :n]
-                    inds = meta["input_inds"][:n]
-                    if points_all is None:
-                        cloud = np.asarray(
-                            dataset.input_trees[meta["cloud_ind"]].data)
-                        pts = cloud[inds] - meta["center"]
-                    else:
+                    for b, meta in enumerate(metas):
+                        n = meta["n_real"]
+                        probs = probs_all[b, :n]
+                        inds = meta["input_inds"][:n]
                         pts = points_all[b, :n]
-                    if 0 < test_radius_ratio < 1:
-                        inside = np.sum(pts ** 2, axis=1) < \
-                            (test_radius_ratio * config.in_radius) ** 2
-                        inds = inds[inside]
-                        probs = probs[inside]
-                    c_i = meta["cloud_ind"]
-                    self.test_probs[c_i][inds] = \
-                        test_smooth * self.test_probs[c_i][inds] \
-                        + (1 - test_smooth) * probs
+                        if 0 < test_radius_ratio < 1:
+                            inside = np.sum(pts ** 2, axis=1) < \
+                                (test_radius_ratio * config.in_radius) ** 2
+                            inds = inds[inside]
+                            probs = probs[inside]
+                        c_i = meta["cloud_ind"]
+                        self.test_probs[c_i][inds] = \
+                            test_smooth * self.test_probs[c_i][inds] \
+                            + (1 - test_smooth) * probs
                 if time.time() - t_last > 1.0:
                     t_last = time.time()
                     print(f"e{test_epoch:03d}-i{i:04d} => "
@@ -208,6 +213,9 @@ class ModelTester:
 
             if last_min + 1 < new_min:
                 last_min += 1
+                if vote_acc is not None:
+                    # One fetch per vote epoch instead of one per batch
+                    self.test_probs = vote_acc.materialize()
 
                 if dataset.split == "validation":
                     self._subcloud_confusion(dataset, val_proportions)

@@ -684,15 +684,26 @@ class ModelTrainer:
         predictions, targets = [], []
         from weasal_tpu.data.loader import BatchPrefetcher
         val_extra = None
+        val_acc = None
         if getattr(config, "device_pyramid", False):
             if self._resident_spec is not None:
                 from weasal_tpu.data.resident import ResidentBatchSource
+                from weasal_tpu.train.vote import DeviceVoteAccumulator
                 if not hasattr(self, "_val_resident_source") or \
                         self._val_resident_source.dataset is not val_dataset:
                     self._val_resident_source = ResidentBatchSource(
                         val_dataset, self.plan, mesh=self.mesh)
+                    # Smoothed full-cloud validation probs stay on device
+                    # (fetched only for the periodic confusion dumps);
+                    # seed from any existing host state so the smoothing
+                    # history carries over
+                    self._val_acc = DeviceVoteAccumulator(
+                        self._val_resident_source.resident, nc_model,
+                        smooth=val_smooth)
+                    self._val_acc.load(self.validation_probs)
                 val_source = self._val_resident_source
                 val_extra = val_source.resident.arrays
+                val_acc = self._val_acc
             else:
                 from weasal_tpu.data.level0 import Level0BatchSource
                 val_source = Level0BatchSource(val_dataset, self.plan)
@@ -706,29 +717,39 @@ class ModelTrainer:
                                      config.validation_size, rng=rng,
                                      augment=False, sharding=val_sharding,
                                      extra_arrays=val_extra)
+        # Model-class index -> position in label_values (the reference
+        # inserts zero columns for ignored labels before the argmax,
+        # architectures.py; this index map is the same thing)
+        label_values = val_dataset.label_values
+        nonign = np.array([li for li, lv in enumerate(label_values)
+                           if lv not in val_dataset.ignored_labels])
+
         for batch, metas in prefetcher:
             probs_dev, labels_dev = self._eval_step(self.state, batch)
-            probs_all = np.asarray(probs_dev)
+            if val_acc is not None:
+                # Smoothing runs on device; fetch only the class argmax
+                # and targets (~50x less D2H than the full probs)
+                val_acc.update(probs_dev, batch)
+                preds_all = np.asarray(jnp.argmax(probs_dev, axis=-1))
+            else:
+                probs_all = np.asarray(probs_dev)
+                preds_all = np.argmax(probs_all, axis=-1)
             labels_all = np.asarray(labels_dev)
             for b, meta in enumerate(metas):
                 n = meta["n_real"]
-                probs = probs_all[b, :n]
-                inds = meta["input_inds"][:n]
-                c_i = meta["cloud_ind"]
-                self.validation_probs[c_i][inds] = \
-                    val_smooth * self.validation_probs[c_i][inds] \
-                    + (1 - val_smooth) * probs
-                predictions.append(probs)
+                if val_acc is None:
+                    inds = meta["input_inds"][:n]
+                    c_i = meta["cloud_ind"]
+                    self.validation_probs[c_i][inds] = \
+                        val_smooth * self.validation_probs[c_i][inds] \
+                        + (1 - val_smooth) * probs_all[b, :n]
+                predictions.append(preds_all[b, :n])
                 targets.append(labels_all[b, :n])
 
         # Sub-part confusions with proportion rebalance
-        label_values = val_dataset.label_values
         Confs = []
-        for probs, truth in zip(predictions, targets):
-            for l_ind, label_value in enumerate(label_values):
-                if label_value in val_dataset.ignored_labels:
-                    probs = np.insert(probs, l_ind, 0, axis=1)
-            preds = label_values[np.argmax(probs, axis=1)]
+        for pred_cls, truth in zip(predictions, targets):
+            preds = label_values[nonign[pred_cls]]
             truth_vals = label_values[np.clip(truth, 0, None)]
             Confs.append(fast_confusion(truth_vals, preds, label_values))
         C = np.sum(np.stack(Confs), axis=0).astype(np.float32)
@@ -760,6 +781,8 @@ class ModelTrainer:
                               ["x", "y", "z", "pots"])
 
             if (self.epoch + 1) % config.checkpoint_gap == 0:
+                if val_acc is not None:
+                    self.validation_probs = val_acc.materialize()
                 self._save_val_confusions(val_dataset)
         return mIoU
 

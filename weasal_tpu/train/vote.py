@@ -1,0 +1,108 @@
+"""Device-resident voting accumulators.
+
+The reference's voting inference (utils/tester_WeakLabel.py:54-485) and
+per-epoch validation (utils/trainer_WeakLabel.py:312-566) keep full-cloud
+probability buffers on the host and smooth per-sphere predictions into
+them after fetching every batch's softmax output. Through this platform's
+TPU tunnel those per-batch fetches dominate the loop (~2 MB each, hundreds
+per epoch), so when the resident-cloud input path is active
+(weasal_tpu/data/resident.py) the buffers live on device instead:
+
+- one flat ``[S, C]`` array aligned row-for-row with the resident cloud
+  arrays (same per-cloud bases, same trailing shadow row),
+- the smoothing update runs inside a jitted ``lax.scan`` over the batch's
+  spheres, **sequentially**, reproducing the reference's sphere-by-sphere
+  update order when spheres in one batch overlap,
+- the host fetches the buffers once per vote epoch (when the minimum
+  potential crosses an integer), not once per batch.
+
+The update consumes exactly what the resident path already ships for the
+eval step — ``flat_inds``/``center_pts`` — plus the on-device probs, so
+the voting loop transfers nothing per batch in either direction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+
+class DeviceVoteAccumulator:
+    """Full-cloud vote buffers on device, flat-aligned with ResidentClouds.
+
+    :param resident: the split's ResidentClouds (provides the flat layout
+        and the on-device points used for the radius mask)
+    :param num_classes: probability columns
+    :param smooth: exponential smoothing factor (reference ``test_smooth``
+        / ``val_smooth`` = 0.95)
+    :param radius_sq: optional squared radius; when set, only points with
+        ``|p - center|^2 < radius_sq`` receive updates (the tester's
+        ``0.7 * in_radius`` mask; validation passes None)
+    """
+
+    def __init__(self, resident, num_classes: int, smooth: float = 0.95,
+                 radius_sq: Optional[float] = None):
+        import jax
+        import jax.numpy as jnp
+
+        self.resident = resident
+        self.num_classes = int(num_classes)
+        S = int(resident.arrays["res_points"].shape[0])
+        self._S = S
+        self._flat = jnp.zeros((S, self.num_classes), jnp.float32)
+
+        smooth = float(smooth)
+        radius_sq = None if radius_sq is None else float(radius_sq)
+        shadow = S - 1
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def update(flat, probs, flat_inds, centers, res_points):
+            def body(acc, sphere):
+                p, idx, ctr = sphere                     # [n0,C],[n0],[3]
+                valid = idx < shadow
+                if radius_sq is not None:
+                    rel = res_points[idx] - ctr[None, :]
+                    valid = valid & (jnp.sum(rel * rel, axis=1) < radius_sq)
+                tgt = jnp.where(valid, idx, shadow)
+                cur = acc[tgt]
+                new = smooth * cur + (1.0 - smooth) * p
+                acc = acc.at[tgt].set(
+                    jnp.where(valid[:, None], new, cur))
+                return acc, None
+
+            flat, _ = jax.lax.scan(
+                body, flat,
+                (probs.astype(jnp.float32), flat_inds, centers))
+            return flat
+
+        self._update = update
+
+    def update(self, probs, batch) -> None:
+        """Smooth one eval batch's probs (input_inds order) into the
+        buffers; everything stays on device."""
+        self._flat = self._update(self._flat, probs, batch["flat_inds"],
+                                  batch["center_pts"],
+                                  batch["res_points"])
+
+    def materialize(self) -> List[np.ndarray]:
+        """One D2H fetch -> per-cloud [n_i, C] float arrays (the same
+        shape/content contract as the host-side ``test_probs`` /
+        ``validation_probs`` lists)."""
+        flat = np.asarray(self._flat)
+        out = []
+        for i, n in enumerate(self.resident.sizes):
+            lo = int(self.resident.base[i])
+            out.append(flat[lo:lo + int(n)])
+        return out
+
+    def load(self, per_cloud: List[np.ndarray]) -> None:
+        """Seed the device buffers from host per-cloud arrays (resume)."""
+        import jax.numpy as jnp
+
+        flat = np.zeros((self._S, self.num_classes), np.float32)
+        for i, arr in enumerate(per_cloud):
+            lo = int(self.resident.base[i])
+            flat[lo:lo + arr.shape[0]] = arr
+        self._flat = jnp.asarray(flat)
