@@ -10,8 +10,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU in-process collectives abort the whole process (CHECK failure in
+# rendezvous.cc) when the per-device executor threads can't all get
+# scheduled within 40 s. On an oversubscribed single-core CI host the
+# multi-device tests trip that under load; raise the rendezvous timeouts.
+if "collective_timeout" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

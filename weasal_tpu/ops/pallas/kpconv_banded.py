@@ -143,11 +143,15 @@ def _block_base(qm2, s_block):
     return cross, srow, sn
 
 
-def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32,
+def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32, m32e,
                  kp_extent: float, influence: str):
-    """Membership-weighted influence A_p for one (kernel point, block),
-    in the same clip(1 - sqrt(D)/ext) * m branch structure as the XLA
-    path (ops/kpconv.py) so relu-boundary subgradients track it."""
+    """Membership-weighted influence A_p for one (kernel point, block).
+
+    Algebraically identical to the XLA path's clip(1 - sqrt(D)/ext) * m
+    (ops/kpconv.py) — the 1/ext factor is folded into the membership
+    matrix (``m32e = m32 / ext``, built once per block) so the linear
+    branch costs one VPU [T, Q] op less per kernel point:
+    m * relu(1 - sqrt(D)/ext) == (m/ext) * relu(ext - sqrt(D))."""
     if influence == "constant":
         return m32
     kx = kp_ref[p, 0]
@@ -156,8 +160,7 @@ def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32,
     b_p = sn - 2.0 * (srow[0] * kx + srow[1] * ky + srow[2] * kz)
     d2p = jnp.maximum(cross + b_p + qa_p, 0.0)
     if influence == "linear":
-        return m32 * jnp.maximum(
-            1.0 - (1.0 / kp_extent) * jnp.sqrt(d2p), 0.0)
+        return m32e * jnp.maximum(kp_extent - jnp.sqrt(d2p), 0.0)
     if influence == "gaussian":
         sigma = kp_extent * 0.3
         return m32 * jnp.exp(-d2p / (2 * sigma ** 2 + 1e-9))
@@ -188,10 +191,11 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
         def _do_block(j=j, block_start=block_start):
             cross, srow, sn = _block_base(qm2, s_refs[j][:])
             m32 = _membership_block(nb, block_start, t).astype(jnp.float32)
+            m32e = m32 * (1.0 / kp_extent)
             x_j = x_refs[j][:].astype(mxu_dtype)
             for p in range(kp):
                 a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
-                                 m32, kp_extent,
+                                 m32, m32e, kp_extent,
                                  influence).astype(mxu_dtype)
                 y_ref[p] += jnp.dot(a, x_j,
                                     preferred_element_type=jnp.float32)
@@ -242,11 +246,12 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
         def _do_block(j=j, block_start=block_start):
             cross, srow, sn = _block_base(qm2, s_refs[j][:])
             m32 = _membership_block(nb, block_start, t).astype(jnp.float32)
+            m32e = m32 * (1.0 / kp_extent)
             x_j = x_refs[j][:].astype(mxu_dtype)
             sl = pl.ds(block_start, QUANTUM)
             for p in range(kp):
                 a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
-                                 m32, kp_extent,
+                                 m32, m32e, kp_extent,
                                  influence).astype(mxu_dtype)
                 dx_ref[sl, :] += jnp.dot(
                     a.T, dr[p], preferred_element_type=jnp.float32)

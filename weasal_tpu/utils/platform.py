@@ -15,6 +15,18 @@ def apply_platform_env() -> None:
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        # XLA:CPU in-process collectives CHECK-fail (process abort) when
+        # the per-device executor threads starve past 40 s on a loaded
+        # host (single-core CI). Raise the rendezvous timeouts; must land
+        # before backend init.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "collective_timeout" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_collective_timeout_seconds=600"
+                " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+            ).strip()
 
 
 def resolve_pallas_flag(value, auto_requires: bool = True) -> bool:
