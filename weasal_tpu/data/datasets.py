@@ -610,6 +610,7 @@ class CloudSegmentationDataset:
             metas.append(dict(cloud_ind=payload["cloud_ind"],
                               input_inds=payload["input_inds"],
                               center=payload["center"],
+                              has_regions=bool(payload.get("regions")),
                               n_real=min(payload["points"].shape[0],
                                          plan.num_points[0])))
         batch = assemble_batch(spheres, plan, self.config.num_classes,

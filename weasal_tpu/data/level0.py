@@ -154,6 +154,7 @@ class Level0BatchSource:
         arrays = assemble_level0(payloads, plan, ds.config.num_classes, rng)
         metas = [dict(cloud_ind=p["cloud_ind"],
                       input_inds=p["input_inds"], center=p["center"],
+                      has_regions=bool(p.get("regions")),
                       n_real=min(p["points"].shape[0], plan.num_points[0]))
                  for p in payloads]
         return arrays, metas

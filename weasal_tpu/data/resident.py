@@ -145,6 +145,7 @@ class ResidentBatchSource:
         n0 = plan.num_points[0]
         metas = [dict(cloud_ind=p["cloud_ind"],
                       input_inds=p["input_inds"], center=p["center"],
+                      has_regions=bool(p.get("regions")),
                       n_real=min(p["input_inds"].shape[0], n0))
                  for p in payloads]
         return arrays, metas

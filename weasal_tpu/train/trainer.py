@@ -499,16 +499,25 @@ class ModelTrainer:
                                          config.epoch_steps, rng=rng,
                                          sharding=sharding,
                                          extra_arrays=extra_arrays)
-            for batch, _ in prefetcher:
+            for batch, metas in prefetcher:
                 if config.saving and pid_file and not exists(pid_file):
                     prefetcher.close()
                     break
-                region_masks = (batch["region_masks"]
-                                if isinstance(batch, dict)
-                                else batch.region_masks)
-                if self.mode == "weak" and not np.any(
-                        np.asarray(region_masks)):
-                    continue  # no sub-region labels -> no loss signal
+                if self.mode == "weak":
+                    # No sub-region labels -> no loss signal (reference
+                    # trainer_WeakLabel.py:183-184). Check host metas —
+                    # np.asarray(batch.region_masks) would be a D2H fetch
+                    # of a device array, a full tunnel round-trip (~50 ms)
+                    # serializing the dispatch queue EVERY step.
+                    if metas and all("has_regions" in m for m in metas):
+                        if not any(m["has_regions"] for m in metas):
+                            continue
+                    else:                      # custom source fallback
+                        region_masks = (batch["region_masks"]
+                                        if isinstance(batch, dict)
+                                        else batch.region_masks)
+                        if not np.any(np.asarray(region_masks)):
+                            continue
                 dropout_key, sub = jax.random.split(dropout_key)
                 use_contrast = (self.mode == "pseudo"
                                 and self.epoch >= getattr(
@@ -724,27 +733,38 @@ class ModelTrainer:
         nonign = np.array([li for li, lv in enumerate(label_values)
                            if lv not in val_dataset.ignored_labels])
 
-        for batch, metas in prefetcher:
-            probs_dev, labels_dev = self._eval_step(self.state, batch)
-            if val_acc is not None:
-                # Smoothing runs on device; fetch only the class argmax
-                # and targets (~50x less D2H than the full probs)
+        if val_acc is not None:
+            # Smoothing runs on device; buffer the per-batch argmax/targets
+            # on device and fetch them ALL in one device_get at the end —
+            # a per-batch np.asarray is a full tunnel round-trip (~50 ms)
+            # that serializes the dispatch queue.
+            buffered, metas_all = [], []
+            for batch, metas in prefetcher:
+                probs_dev, labels_dev = self._eval_step(self.state, batch)
                 val_acc.update(probs_dev, batch)
-                preds_all = np.asarray(jnp.argmax(probs_dev, axis=-1))
-            else:
+                buffered.append((jnp.argmax(probs_dev, axis=-1), labels_dev))
+                metas_all.append(metas)
+            for (preds_all, labels_all), metas in zip(
+                    jax.device_get(buffered), metas_all):
+                for b, meta in enumerate(metas):
+                    n = meta["n_real"]
+                    predictions.append(preds_all[b, :n])
+                    targets.append(labels_all[b, :n])
+        else:
+            for batch, metas in prefetcher:
+                probs_dev, labels_dev = self._eval_step(self.state, batch)
                 probs_all = np.asarray(probs_dev)
                 preds_all = np.argmax(probs_all, axis=-1)
-            labels_all = np.asarray(labels_dev)
-            for b, meta in enumerate(metas):
-                n = meta["n_real"]
-                if val_acc is None:
+                labels_all = np.asarray(labels_dev)
+                for b, meta in enumerate(metas):
+                    n = meta["n_real"]
                     inds = meta["input_inds"][:n]
                     c_i = meta["cloud_ind"]
                     self.validation_probs[c_i][inds] = \
                         val_smooth * self.validation_probs[c_i][inds] \
                         + (1 - val_smooth) * probs_all[b, :n]
-                predictions.append(preds_all[b, :n])
-                targets.append(labels_all[b, :n])
+                    predictions.append(preds_all[b, :n])
+                    targets.append(labels_all[b, :n])
 
         # Sub-part confusions with proportion rebalance
         Confs = []
