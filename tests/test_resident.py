@@ -249,6 +249,37 @@ def test_device_vote_accumulator_matches_host(setup):
         np.testing.assert_allclose(d, h, atol=1e-5)
 
 
+def test_resident_voting_validation_split(setup, tmp_path, monkeypatch):
+    """Tester vote loop on split='validation' through the resident path:
+    per-vote-epoch sub-cloud confusions + device vote buffers (the
+    `test_models.py --on validation` path)."""
+    cfg, ds, wd = setup
+    from weasal_tpu.train.tester import ModelTester
+    chkp = os.path.join(cfg.saving_path, "checkpoints", "current_chkp.tar")
+    if not os.path.exists(chkp):                   # ordering safety
+        trainer = ModelTrainer(cfg, ds, stage_dir="WeakLabel")
+        trainer.train(ds, None, al_iteration=0)
+    monkeypatch.chdir(tmp_path)
+    saved = cfg.saving_path
+    cfg.saving_path = "results/WeakLabel/Log_res_val"
+    try:
+        val_ds = Vaihingen3DWLDataset(
+            cfg, split="validation",
+            data_root=os.path.join(wd, "Vaihingen3D"),
+            rng=np.random.default_rng(5))
+        tester = ModelTester(cfg, val_ds, chkp)
+        assert tester._resident_spec is not None
+        probs = tester.cloud_segmentation_test(val_ds, num_votes=0,
+                                               stage_dir="WeakLabel")
+        assert len(probs) == val_ds.num_clouds
+        for p, lbl in zip(probs, val_ds.input_labels):
+            assert p.shape == (lbl.shape[0], cfg.num_classes)
+            assert np.isfinite(p).all()
+            assert p.max() > 0            # votes actually landed
+    finally:
+        cfg.saving_path = saved
+
+
 def test_resident_voting_inference(setup, tmp_path, monkeypatch):
     """Tester vote loop through the resident path: probs come back in
     input_inds order and the artifact contract holds."""
