@@ -114,3 +114,35 @@ class TestStepTimer:
                 clock["t"] += 0.002
         assert timer.ema["b"] > timer.ema["a"] > 0
         assert "a=" in timer.summary()
+
+
+class TestStallWatchdog:
+
+    def test_beats_keep_it_alive_and_stall_exits_86(self):
+        """Run in a subprocess: the stall path hard-exits via os._exit."""
+        import subprocess
+        import sys
+        code = (
+            "import time\n"
+            "from weasal_tpu.utils.watchdog import StallWatchdog, "
+            "EXIT_STALLED\n"
+            "wd = StallWatchdog(timeout_s=0.4, label='t')\n"
+            "for _ in range(4):\n"
+            "    time.sleep(0.2); wd.beat()\n"   # beats prevent firing
+            "print('ALIVE', flush=True)\n"
+            "time.sleep(5)\n"                    # now stall -> exit 86
+            "print('NEVER', flush=True)\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=120,
+                           cwd="/root/repo")
+        assert r.returncode == 86, (r.returncode, r.stdout, r.stderr)
+        assert "ALIVE" in r.stdout
+        assert "NEVER" not in r.stdout
+        assert "watchdog" in r.stdout
+
+    def test_disabled_never_fires(self):
+        from weasal_tpu.utils.watchdog import StallWatchdog
+        wd = StallWatchdog(timeout_s=0)
+        assert wd._thread is None
+        wd.beat(); wd.stop()

@@ -143,6 +143,13 @@ class Config:
     # H2D traffic per step and far less host work. "auto" = on when the
     # backend is a real TPU and device_pyramid is set.
     resident_clouds = "auto"
+    # Stall watchdog (weasal_tpu/utils/watchdog.py): hard-exit with code
+    # 86 when a training/voting loop makes no progress for this many
+    # seconds, so a wrapper can resume from the per-epoch checkpoint. The
+    # remote-TPU tunnel can drop an in-flight RPC and wedge the process
+    # forever (observed in a 150-epoch run). Active on TPU backends only;
+    # <= 0 disables.
+    stall_watchdog_s = 900
 
     # Keys that Config.save() writes under "# Other parameters" only when set
     _OPTIONAL_KEYS = (

@@ -148,6 +148,15 @@ class ModelTester:
         last_min = -0.5
         t_last = time.time()
 
+        # Liveness: a dropped tunnel RPC wedges the loop in a fetch
+        # forever; exit 86 lets a wrapper rerun the (resumable) voting.
+        import jax
+        from weasal_tpu.utils.watchdog import StallWatchdog
+        watchdog = StallWatchdog(
+            float(getattr(config, "stall_watchdog_s", 0) or 0)
+            if jax.default_backend() == "tpu" else 0.0,
+            label=f"vote[{self.mode}]")
+
         from weasal_tpu.data.loader import BatchPrefetcher
         extra_arrays = None
         vote_acc = None
@@ -210,12 +219,14 @@ class ModelTester:
             new_min = dataset.min_potential()
             print(f"Test epoch {test_epoch}, end. "
                   f"Min potential = {new_min:.1f}")
+            watchdog.beat()
 
             if last_min + 1 < new_min:
                 last_min += 1
                 if vote_acc is not None:
                     # One fetch per vote epoch instead of one per batch
                     self.test_probs = vote_acc.materialize()
+                    watchdog.beat()   # the fetch returned = device alive
 
                 if dataset.split == "validation":
                     self._subcloud_confusion(dataset, val_proportions)
@@ -250,6 +261,7 @@ class ModelTester:
             test_epoch += 1
             if last_min > num_votes:
                 break
+        watchdog.stop()
         return self.test_probs
 
     # ------------------------------------------------------------------

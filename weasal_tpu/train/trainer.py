@@ -489,6 +489,15 @@ class ModelTrainer:
             from weasal_tpu.parallel.mesh import batch_sharding
             sharding = batch_sharding(self.mesh)
 
+        # Liveness: the tunnel can drop an in-flight RPC and wedge the
+        # process in a fetch forever; the watchdog turns that into a
+        # restartable exit-86 (resume from current_chkp.tar).
+        from weasal_tpu.utils.watchdog import StallWatchdog
+        self._watchdog = StallWatchdog(
+            float(getattr(config, "stall_watchdog_s", 0) or 0)
+            if jax.default_backend() == "tpu" else 0.0,
+            label=f"train[{self.mode}]")
+
         t0 = time.time()
         last_display = time.time()
         pending = []
@@ -539,6 +548,7 @@ class ModelTrainer:
                     last_display = time.time()
                     self._flush_log(pending, log_file, al_iteration)
                     pending = []
+                    self._watchdog.beat()   # a flush returned = progress
 
             self._flush_log(pending, log_file, al_iteration)
             pending = []
@@ -606,9 +616,11 @@ class ModelTrainer:
                     self.save_checkpoint(
                         chkp_dir,
                         f"chkp_{self.epoch + 1:04d}_{al_iteration}.tar")
+            self._watchdog.beat()
 
             if val_dataset is not None:
                 self.cloud_segmentation_validation(val_dataset)
+                self._watchdog.beat()
 
             # Cooperative kill file removed once training completes
             # (the reference clears it on its final epoch,
@@ -624,6 +636,7 @@ class ModelTrainer:
         if pid_file and exists(pid_file) and self.epoch >= config.max_epoch:
             os.remove(pid_file)
 
+        self._watchdog.stop()
         print("Finished Training")
 
     def _log_header(self, train_dataset, al_iteration) -> str:

@@ -1,0 +1,70 @@
+"""Stall watchdog: turn silent hangs into restartable crashes.
+
+On this platform the remote-TPU tunnel connection can drop under load;
+an in-flight RPC then never completes and the training process blocks
+forever in a `device_get`/dispatch futex wait (observed: a 150-epoch run
+hung at epoch 34 with all threads sleeping and the tunnel's connection
+threads respawned). No exception is raised, so only liveness monitoring
+can catch it.
+
+`StallWatchdog` is a daemon thread armed with a heartbeat: the training
+and voting loops call `beat()` every time real progress completes (a
+batch consumed, a flush returned, a vote epoch finished). If no beat
+arrives for `timeout_s`, the watchdog prints a diagnostic and hard-exits
+the process with `EXIT_STALLED` — `os._exit`, because the main thread is
+wedged in native code and cannot run Python signal handlers or atexit
+hooks. Per-epoch checkpoints (`current_chkp.tar`) + `--resume` make the
+restart cheap; `full_run/chain3.sh`-style wrappers loop on the exit code.
+
+The reference has no equivalent (its failure story is the kill-file +
+checkpoint restart, utils/trainer_WeakLabel.py:146-150,274-288); this is
+the TPU-platform extension of SURVEY §5.3.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+EXIT_STALLED = 86
+
+
+class StallWatchdog:
+    """Hard-exit the process when no heartbeat arrives for `timeout_s`.
+
+    :param timeout_s: stall threshold; pick well above the longest
+        legitimate gap between beats (first-compile through the tunnel is
+        minutes; 900 s default leaves a wide margin). <= 0 disables.
+    :param label: printed in the stall diagnostic.
+    """
+
+    def __init__(self, timeout_s: float = 900.0, label: str = "train"):
+        self.timeout_s = float(timeout_s)
+        self.label = label
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = None
+        if self.timeout_s > 0:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def beat(self) -> None:
+        self._last = time.monotonic()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _run(self) -> None:
+        while not self._stop.wait(min(self.timeout_s / 4, 60.0)):
+            stale = time.monotonic() - self._last
+            if stale > self.timeout_s:
+                print(f"[watchdog] {self.label}: no progress for "
+                      f"{stale:.0f} s (> {self.timeout_s:.0f} s) — "
+                      f"assuming a lost tunnel RPC; exiting "
+                      f"{EXIT_STALLED} for a checkpoint resume.",
+                      flush=True)
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(EXIT_STALLED)
