@@ -61,6 +61,21 @@ class ShapePlan:
             return cls(**json.load(f))
 
 
+def payload_meta(payload: Dict, n0: int) -> Dict:
+    """Host-side per-sphere metadata every batch source attaches.
+
+    Single source for the trainer/tester contract: `has_regions` lets the
+    weak-mode empty-batch skip run on host metas instead of fetching
+    `batch.region_masks` from the device (a full tunnel round-trip per
+    step), and `n_real`/`input_inds` drive the vote scatter.
+    """
+    return dict(cloud_ind=payload["cloud_ind"],
+                input_inds=payload["input_inds"],
+                center=payload["center"],
+                has_regions=bool(payload.get("regions")),
+                n_real=min(payload["input_inds"].shape[0], n0))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((int(x) + m - 1) // m) * m
 

@@ -32,7 +32,8 @@ from sklearn.neighbors import KDTree
 
 from weasal_tpu.data import anchors as anchor_ops
 from weasal_tpu.data.batching import (
-    ShapePlan, assemble_batch, build_sphere_pyramid, calibrate_shape_plan)
+    ShapePlan, assemble_batch, build_sphere_pyramid, calibrate_shape_plan,
+    payload_meta)
 from weasal_tpu.kernels.kernel_points import create_3d_rotations
 from weasal_tpu.ops.subsample import grid_subsample
 from weasal_tpu.utils.ply import read_ply, write_ply
@@ -607,12 +608,7 @@ class CloudSegmentationDataset:
                                 center=payload["center"],
                                 cloud_lb=payload["cloud_lb"],
                                 regions=payload["regions"]))
-            metas.append(dict(cloud_ind=payload["cloud_ind"],
-                              input_inds=payload["input_inds"],
-                              center=payload["center"],
-                              has_regions=bool(payload.get("regions")),
-                              n_real=min(payload["points"].shape[0],
-                                         plan.num_points[0])))
+            metas.append(payload_meta(payload, plan.num_points[0]))
         batch = assemble_batch(spheres, plan, self.config.num_classes,
                                rng=rng)
         return batch, metas

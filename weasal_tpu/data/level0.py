@@ -15,7 +15,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from weasal_tpu.data.batching import ShapePlan
+from weasal_tpu.data.batching import ShapePlan, payload_meta
 from weasal_tpu.ops.subsample import SHADOW_COORD
 
 
@@ -152,9 +152,5 @@ class Level0BatchSource:
                                      max_points=plan.num_points[0])
                     for _ in range(b)]
         arrays = assemble_level0(payloads, plan, ds.config.num_classes, rng)
-        metas = [dict(cloud_ind=p["cloud_ind"],
-                      input_inds=p["input_inds"], center=p["center"],
-                      has_regions=bool(p.get("regions")),
-                      n_real=min(p["points"].shape[0], plan.num_points[0]))
-                 for p in payloads]
+        metas = [payload_meta(p, plan.num_points[0]) for p in payloads]
         return arrays, metas

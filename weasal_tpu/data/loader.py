@@ -108,7 +108,7 @@ class ParallelSphereBuilder:
 
     def next_batch(self, rng, plan, num_spheres=None, augment=None):
         from weasal_tpu.data.batching import (
-            assemble_batch, build_sphere_pyramid)
+            assemble_batch, build_sphere_pyramid, payload_meta)
         ds = self.dataset
         b = num_spheres or ds.config.batch_num
         if augment is None:
@@ -136,11 +136,6 @@ class ParallelSphereBuilder:
                                 center=payload["center"],
                                 cloud_lb=payload["cloud_lb"],
                                 regions=payload["regions"]))
-            metas.append(dict(cloud_ind=payload["cloud_ind"],
-                              input_inds=payload["input_inds"],
-                              center=payload["center"],
-                              has_regions=bool(payload.get("regions")),
-                              n_real=min(payload["points"].shape[0],
-                                         plan.num_points[0])))
+            metas.append(payload_meta(payload, plan.num_points[0]))
         batch = assemble_batch(spheres, plan, ds.config.num_classes, rng=rng)
         return batch, metas

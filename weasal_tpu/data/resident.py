@@ -39,7 +39,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-from weasal_tpu.data.batching import ShapePlan
+from weasal_tpu.data.batching import ShapePlan, payload_meta
 from weasal_tpu.ops.subsample import SHADOW_COORD
 
 _KEY_SENTINEL = np.int32(2 ** 31 - 1)    # sort key for pad rows
@@ -143,11 +143,7 @@ class ResidentBatchSource:
                                base=self.resident.base,
                                shadow=self.resident.shadow)
         n0 = plan.num_points[0]
-        metas = [dict(cloud_ind=p["cloud_ind"],
-                      input_inds=p["input_inds"], center=p["center"],
-                      has_regions=bool(p.get("regions")),
-                      n_real=min(p["input_inds"].shape[0], n0))
-                 for p in payloads]
+        metas = [payload_meta(p, n0) for p in payloads]
         return arrays, metas
 
 

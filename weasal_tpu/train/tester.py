@@ -150,12 +150,9 @@ class ModelTester:
 
         # Liveness: a dropped tunnel RPC wedges the loop in a fetch
         # forever; exit 86 lets a wrapper rerun the (resumable) voting.
-        import jax
         from weasal_tpu.utils.watchdog import StallWatchdog
-        watchdog = StallWatchdog(
-            float(getattr(config, "stall_watchdog_s", 0) or 0)
-            if jax.default_backend() == "tpu" else 0.0,
-            label=f"vote[{self.mode}]")
+        watchdog = StallWatchdog.from_config(config,
+                                             label=f"vote[{self.mode}]")
 
         from weasal_tpu.data.loader import BatchPrefetcher
         extra_arrays = None
@@ -180,88 +177,97 @@ class ModelTester:
         else:
             batch_source = dataset
 
-        while True:
-            prefetcher = BatchPrefetcher(batch_source, self.plan,
-                                         config.validation_size, rng=rng,
-                                         augment=False,
-                                         extra_arrays=extra_arrays)
-            for i, (batch, metas) in enumerate(prefetcher):
-                probs_dev = self._eval_step(self.state, batch)
-                if vote_acc is not None:
-                    # probs are already back in input_inds order; the
-                    # radius mask and smoothing run in-jit against the
-                    # resident cloud rows
-                    vote_acc.update(probs_dev, batch)
-                else:
-                    probs_all = np.asarray(probs_dev)
-                    points_all = np.asarray(batch["points0"]
-                                            if isinstance(batch, dict)
-                                            else batch.points[0])
-                    for b, meta in enumerate(metas):
-                        n = meta["n_real"]
-                        probs = probs_all[b, :n]
-                        inds = meta["input_inds"][:n]
-                        pts = points_all[b, :n]
-                        if 0 < test_radius_ratio < 1:
-                            inside = np.sum(pts ** 2, axis=1) < \
-                                (test_radius_ratio * config.in_radius) ** 2
-                            inds = inds[inside]
-                            probs = probs[inside]
-                        c_i = meta["cloud_ind"]
-                        self.test_probs[c_i][inds] = \
-                            test_smooth * self.test_probs[c_i][inds] \
-                            + (1 - test_smooth) * probs
-                if time.time() - t_last > 1.0:
-                    t_last = time.time()
-                    print(f"e{test_epoch:03d}-i{i:04d} => "
-                          f"{100 * i / config.validation_size:.0f}%")
-
-            new_min = dataset.min_potential()
-            print(f"Test epoch {test_epoch}, end. "
-                  f"Min potential = {new_min:.1f}")
-            watchdog.beat()
-
-            if last_min + 1 < new_min:
-                last_min += 1
-                if vote_acc is not None:
-                    # One fetch per vote epoch instead of one per batch
-                    self.test_probs = vote_acc.materialize()
-                    watchdog.beat()   # the fetch returned = device alive
-
-                if dataset.split == "validation":
-                    self._subcloud_confusion(dataset, val_proportions)
-
-                if last_min > num_votes:
-                    all_pseudo_lbs, all_probs = {}, {}
-                    proj_probs = []
-                    for i, file_path in enumerate(dataset.files):
-                        probs = self.test_probs[i][dataset.test_proj[i], :]
-                        proj_probs.append(probs)
-                        fn = file_path.split("/")[-1].split(".txt")[0]
-                        all_probs[fn] = self.test_probs[i]
-                        all_pseudo_lbs[fn] = np.argmax(self.test_probs[i],
-                                                       axis=1)
-
-                    if not active_learning:
-                        if test_path is not None:
-                            with open(join(test_path, "_pseudo.pickle"),
-                                      "wb") as f:
-                                pickle.dump(all_pseudo_lbs, f)
-                            with open(join(test_path, "_probs.pickle"),
-                                      "wb") as f:
-                                pickle.dump(all_probs, f)
-                            self._save_clouds(dataset, proj_probs,
-                                              test_path, test_on_train)
-                    elif self.mode == "weak":
-                        self._extend_anchor_ledger(dataset, all_probs,
-                                                   all_pseudo_lbs)
+        try:
+            while True:
+                prefetcher = BatchPrefetcher(batch_source, self.plan,
+                                             config.validation_size, rng=rng,
+                                             augment=False,
+                                             extra_arrays=extra_arrays)
+                for i, (batch, metas) in enumerate(prefetcher):
+                    probs_dev = self._eval_step(self.state, batch)
+                    if vote_acc is not None:
+                        # probs are already back in input_inds order; the
+                        # radius mask and smoothing run in-jit against the
+                        # resident cloud rows
+                        vote_acc.update(probs_dev, batch)
                     else:
-                        self._extend_gt_ledger(dataset, all_probs)
+                        probs_all = np.asarray(probs_dev)
+                        points_all = np.asarray(batch["points0"]
+                                                if isinstance(batch, dict)
+                                                else batch.points[0])
+                        for b, meta in enumerate(metas):
+                            n = meta["n_real"]
+                            probs = probs_all[b, :n]
+                            inds = meta["input_inds"][:n]
+                            pts = points_all[b, :n]
+                            if 0 < test_radius_ratio < 1:
+                                inside = np.sum(pts ** 2, axis=1) < \
+                                    (test_radius_ratio * config.in_radius) ** 2
+                                inds = inds[inside]
+                                probs = probs[inside]
+                            c_i = meta["cloud_ind"]
+                            self.test_probs[c_i][inds] = \
+                                test_smooth * self.test_probs[c_i][inds] \
+                                + (1 - test_smooth) * probs
+                    # Host sampling/dispatch is progress: vote epochs are
+                    # sampling-bound and can legitimately exceed the stall
+                    # threshold; the wedge (lost RPC) stops these beats
+                    # too, and the materialize fetch catches it.
+                    watchdog.beat()
+                    if time.time() - t_last > 1.0:
+                        t_last = time.time()
+                        print(f"e{test_epoch:03d}-i{i:04d} => "
+                              f"{100 * i / config.validation_size:.0f}%")
 
-            test_epoch += 1
-            if last_min > num_votes:
-                break
-        watchdog.stop()
+                new_min = dataset.min_potential()
+                print(f"Test epoch {test_epoch}, end. "
+                      f"Min potential = {new_min:.1f}")
+                watchdog.beat()
+
+                if last_min + 1 < new_min:
+                    last_min += 1
+                    if vote_acc is not None:
+                        # One fetch per vote epoch instead of one per batch
+                        self.test_probs = vote_acc.materialize()
+                        watchdog.beat()   # the fetch returned = device alive
+
+                    if dataset.split == "validation":
+                        self._subcloud_confusion(dataset, val_proportions)
+
+                    if last_min > num_votes:
+                        all_pseudo_lbs, all_probs = {}, {}
+                        proj_probs = []
+                        for i, file_path in enumerate(dataset.files):
+                            probs = self.test_probs[i][dataset.test_proj[i], :]
+                            proj_probs.append(probs)
+                            fn = file_path.split("/")[-1].split(".txt")[0]
+                            all_probs[fn] = self.test_probs[i]
+                            all_pseudo_lbs[fn] = np.argmax(self.test_probs[i],
+                                                           axis=1)
+
+                        if not active_learning:
+                            if test_path is not None:
+                                with open(join(test_path, "_pseudo.pickle"),
+                                          "wb") as f:
+                                    pickle.dump(all_pseudo_lbs, f)
+                                with open(join(test_path, "_probs.pickle"),
+                                          "wb") as f:
+                                    pickle.dump(all_probs, f)
+                                self._save_clouds(dataset, proj_probs,
+                                                  test_path, test_on_train)
+                        elif self.mode == "weak":
+                            self._extend_anchor_ledger(dataset, all_probs,
+                                                       all_pseudo_lbs)
+                        else:
+                            self._extend_gt_ledger(dataset, all_probs)
+
+                test_epoch += 1
+                if last_min > num_votes:
+                    break
+        finally:
+            # Disarm even on exceptions (an orphaned armed
+            # watchdog would hard-kill later unrelated work)
+            watchdog.stop()
         return self.test_probs
 
     # ------------------------------------------------------------------

@@ -493,150 +493,162 @@ class ModelTrainer:
         # process in a fetch forever; the watchdog turns that into a
         # restartable exit-86 (resume from current_chkp.tar).
         from weasal_tpu.utils.watchdog import StallWatchdog
-        self._watchdog = StallWatchdog(
-            float(getattr(config, "stall_watchdog_s", 0) or 0)
-            if jax.default_backend() == "tpu" else 0.0,
-            label=f"train[{self.mode}]")
+        self._watchdog = StallWatchdog.from_config(
+            config, label=f"train[{self.mode}]")
 
-        t0 = time.time()
-        last_display = time.time()
-        pending = []
-        drops_pending = []
-        while self.epoch < config.max_epoch:
-            self.step = 0
-            prefetcher = BatchPrefetcher(batch_source, self.plan,
-                                         config.epoch_steps, rng=rng,
-                                         sharding=sharding,
-                                         extra_arrays=extra_arrays)
-            for batch, metas in prefetcher:
-                if config.saving and pid_file and not exists(pid_file):
-                    prefetcher.close()
-                    break
-                if self.mode == "weak":
-                    # No sub-region labels -> no loss signal (reference
-                    # trainer_WeakLabel.py:183-184). Check host metas —
-                    # np.asarray(batch.region_masks) would be a D2H fetch
-                    # of a device array, a full tunnel round-trip (~50 ms)
-                    # serializing the dispatch queue EVERY step.
-                    if metas and all("has_regions" in m for m in metas):
-                        if not any(m["has_regions"] for m in metas):
-                            continue
-                    else:                      # custom source fallback
-                        region_masks = (batch["region_masks"]
-                                        if isinstance(batch, dict)
-                                        else batch.region_masks)
-                        if not np.any(np.asarray(region_masks)):
-                            continue
-                dropout_key, sub = jax.random.split(dropout_key)
-                use_contrast = (self.mode == "pseudo"
-                                and self.epoch >= getattr(
-                                    config, "contrast_start", 1 << 30))
-                (self.state, out_loss, reg_loss, acc,
-                 drops) = self._train_step(
-                    self.state, batch, jnp.float32(self.lr), sub,
-                    use_contrast=use_contrast)
-                drops_pending.append(drops)
-
-                # Buffer device scalars; synchronous per-step reads would
-                # serialize the async dispatch queue (very costly through a
-                # remote-dispatch backend)
-                pending.append((self.epoch, self.step, out_loss, reg_loss,
-                                acc, time.time() - t0))
-                self.step += 1
-                if len(pending) >= 20 or \
-                        time.time() - last_display > 2.0:
-                    last_display = time.time()
-                    self._flush_log(pending, log_file, al_iteration)
-                    pending = []
-                    self._watchdog.beat()   # a flush returned = progress
-
-            self._flush_log(pending, log_file, al_iteration)
+        try:
+            t0 = time.time()
+            last_display = time.time()
             pending = []
-
-            if config.saving and pid_file and not exists(pid_file):
-                break
-
-            if self.epoch in config.lr_decays:
-                self.lr *= config.lr_decays[self.epoch]
-            self.epoch += 1
-
-            # Shape-plan saturation audit: silent caps (level/neighbor/
-            # region truncation) become visible in the training log
-            n_drop_steps = len(drops_pending)
-            epoch_drops = float(np.sum([np.asarray(d)
-                                        for d in drops_pending])) \
-                if drops_pending else 0.0
             drops_pending = []
-            if epoch_drops > 0:
-                # Scale by the epoch's neighbor-slot count: calibration
-                # sizes band windows from ~40 spheres + 2 spare blocks, so
-                # a sub-1e-3 runtime tail is expected behavior (for scale:
-                # the reference's own neighborhood calibration truncates
-                # ~10% of neighborhoods by design, common.py:336-346) —
-                # only a larger fraction indicates a sizing/sort bug.
-                plan = self.plan
-                slots = sum(plan.num_points[l] * plan.conv_neighbors[l]
-                            for l in range(plan.num_layers))
-                slots += sum(plan.num_points[l + 1] * plan.pool_neighbors[l]
-                             for l in range(plan.num_layers - 1))
-                slots *= max(n_drop_steps, 1) * max(config.batch_num, 1)
-                frac = epoch_drops / max(slots, 1)
-                if frac > 1e-3:
-                    print(f"[pallas-telemetry] {int(epoch_drops)} neighbors "
-                          f"({100 * frac:.3f}% of slots) dropped "
-                          "out-of-band this epoch — spatial sort or band "
-                          "sizing violated; rerun calibration("
-                          "force_redo=True) or widen ShapePlan.bands")
-                else:
-                    print(f"[pallas-telemetry] band-window tail: "
-                          f"{int(epoch_drops)} neighbor drops this epoch "
-                          f"({100 * frac:.5f}% of slots — counted, "
-                          "within calibration's expected tail)")
-            try:
-                from weasal_tpu.data.telemetry import (
-                    audit_plan_saturation, format_saturation_line)
-                report = audit_plan_saturation(
-                    train_dataset, self.plan,
-                    rng=np.random.default_rng(1000 + self.epoch))
-                for warning in report["warnings"]:
-                    print(f"[plan-saturation] {warning}")
+            while self.epoch < config.max_epoch:
+                self.step = 0
+                prefetcher = BatchPrefetcher(batch_source, self.plan,
+                                             config.epoch_steps, rng=rng,
+                                             sharding=sharding,
+                                             extra_arrays=extra_arrays)
+                for batch, metas in prefetcher:
+                    if config.saving and pid_file and not exists(pid_file):
+                        prefetcher.close()
+                        break
+                    if self.mode == "weak":
+                        # No sub-region labels -> no loss signal (reference
+                        # trainer_WeakLabel.py:183-184). Check host metas —
+                        # np.asarray(batch.region_masks) would be a D2H fetch
+                        # of a device array, a full tunnel round-trip (~50 ms)
+                        # serializing the dispatch queue EVERY step.
+                        if metas and all("has_regions" in m for m in metas):
+                            if not any(m["has_regions"] for m in metas):
+                                # Host sampling is progress too: a streak
+                                # of label-less batches (sparse early-AL
+                                # anchors) must not read as a stall
+                                self._watchdog.beat()
+                                continue
+                        else:                      # custom source fallback
+                            region_masks = (batch["region_masks"]
+                                            if isinstance(batch, dict)
+                                            else batch.region_masks)
+                            if not np.any(np.asarray(region_masks)):
+                                continue
+                    dropout_key, sub = jax.random.split(dropout_key)
+                    use_contrast = (self.mode == "pseudo"
+                                    and self.epoch >= getattr(
+                                        config, "contrast_start", 1 << 30))
+                    (self.state, out_loss, reg_loss, acc,
+                     drops) = self._train_step(
+                        self.state, batch, jnp.float32(self.lr), sub,
+                        use_contrast=use_contrast)
+                    drops_pending.append(drops)
+
+                    # Buffer device scalars; synchronous per-step reads would
+                    # serialize the async dispatch queue (very costly through a
+                    # remote-dispatch backend)
+                    pending.append((self.epoch, self.step, out_loss, reg_loss,
+                                    acc, time.time() - t0))
+                    self.step += 1
+                    if len(pending) >= 20 or \
+                            time.time() - last_display > 2.0:
+                        last_display = time.time()
+                        self._flush_log(pending, log_file, al_iteration)
+                        pending = []
+                        self._watchdog.beat()   # a flush returned = progress
+
+                self._flush_log(pending, log_file, al_iteration)
+                pending = []
+
+                if config.saving and pid_file and not exists(pid_file):
+                    break
+
+                if self.epoch in config.lr_decays:
+                    self.lr *= config.lr_decays[self.epoch]
+                self.epoch += 1
+
+                # Shape-plan saturation audit: silent caps (level/neighbor/
+                # region truncation) become visible in the training log
+                n_drop_steps = len(drops_pending)
+                epoch_drops = float(np.sum([np.asarray(d)
+                                            for d in drops_pending])) \
+                    if drops_pending else 0.0
+                drops_pending = []
+                if epoch_drops > 0:
+                    # Scale by the epoch's neighbor-slot count: calibration
+                    # sizes band windows from ~40 spheres + 2 spare blocks, so
+                    # a sub-1e-3 runtime tail is expected behavior (for scale:
+                    # the reference's own neighborhood calibration truncates
+                    # ~10% of neighborhoods by design, common.py:336-346) —
+                    # only a larger fraction indicates a sizing/sort bug.
+                    plan = self.plan
+                    slots = sum(plan.num_points[l] * plan.conv_neighbors[l]
+                                for l in range(plan.num_layers))
+                    slots += sum(plan.num_points[l + 1] * plan.pool_neighbors[l]
+                                 for l in range(plan.num_layers - 1))
+                    slots *= max(n_drop_steps, 1) * max(config.batch_num, 1)
+                    frac = epoch_drops / max(slots, 1)
+                    if frac > 1e-3:
+                        print(f"[pallas-telemetry] {int(epoch_drops)} neighbors "
+                              f"({100 * frac:.3f}% of slots) dropped "
+                              "out-of-band this epoch — spatial sort or band "
+                              "sizing violated; rerun calibration("
+                              "force_redo=True) or widen ShapePlan.bands")
+                    else:
+                        print(f"[pallas-telemetry] band-window tail: "
+                              f"{int(epoch_drops)} neighbor drops this epoch "
+                              f"({100 * frac:.5f}% of slots — counted, "
+                              "within calibration's expected tail)")
+                try:
+                    from weasal_tpu.data.telemetry import (
+                        audit_plan_saturation, format_saturation_line)
+                    report = audit_plan_saturation(
+                        train_dataset, self.plan,
+                        rng=np.random.default_rng(1000 + self.epoch))
+                    for warning in report["warnings"]:
+                        print(f"[plan-saturation] {warning}")
+                    if config.saving:
+                        line = format_saturation_line(self.epoch, report)
+                        line = (line.rstrip("\n")
+                                + f" kernel_drops {int(epoch_drops)}\n")
+                        with open(join(config.saving_path,
+                                       "plan_saturation.txt"), "a") as f:
+                            f.write(line)
+                except Exception as exc:  # audit must never kill training
+                    print(f"[plan-saturation] audit skipped: {exc}")
+
                 if config.saving:
-                    line = format_saturation_line(self.epoch, report)
-                    line = (line.rstrip("\n")
-                            + f" kernel_drops {int(epoch_drops)}\n")
-                    with open(join(config.saving_path,
-                                   "plan_saturation.txt"), "a") as f:
-                        f.write(line)
-            except Exception as exc:  # audit must never kill training
-                print(f"[plan-saturation] audit skipped: {exc}")
-
-            if config.saving:
-                self.save_checkpoint(chkp_dir)
-                if (self.epoch + 1) % config.checkpoint_gap == 0:
-                    self.save_checkpoint(
-                        chkp_dir,
-                        f"chkp_{self.epoch + 1:04d}_{al_iteration}.tar")
-            self._watchdog.beat()
-
-            if val_dataset is not None:
-                self.cloud_segmentation_validation(val_dataset)
+                    self.save_checkpoint(chkp_dir)
+                    if (self.epoch + 1) % config.checkpoint_gap == 0:
+                        self.save_checkpoint(
+                            chkp_dir,
+                            f"chkp_{self.epoch + 1:04d}_{al_iteration}.tar")
                 self._watchdog.beat()
 
-            # Cooperative kill file removed once training completes
-            # (the reference clears it on its final epoch,
-            # utils/trainer_WeakLabel.py:170-172)
-            if self.epoch >= config.max_epoch and pid_file and \
-                    exists(pid_file):
+                if val_dataset is not None:
+                    self.cloud_segmentation_validation(val_dataset)
+                    self._watchdog.beat()
+
+                # Cooperative kill file removed once training completes
+                # (the reference clears it on its final epoch,
+                # utils/trainer_WeakLabel.py:170-172)
+                if self.epoch >= config.max_epoch and pid_file and \
+                        exists(pid_file):
+                    os.remove(pid_file)
+
+            if config.saving and not exists(join(chkp_dir, "current_chkp.tar")):
+                # Resumed at/after max_epoch: no epoch ran in this run dir, but
+                # downstream stages (AL voting, PL init) restore from it
+                self.save_checkpoint(chkp_dir)
+            if pid_file and exists(pid_file) and self.epoch >= config.max_epoch:
                 os.remove(pid_file)
 
-        if config.saving and not exists(join(chkp_dir, "current_chkp.tar")):
-            # Resumed at/after max_epoch: no epoch ran in this run dir, but
-            # downstream stages (AL voting, PL init) restore from it
-            self.save_checkpoint(chkp_dir)
-        if pid_file and exists(pid_file) and self.epoch >= config.max_epoch:
-            os.remove(pid_file)
+            if getattr(self, "_val_acc", None) is not None:
+                # Keep the host-visible smoothed validation buffer current
+                # even when no checkpoint-gap dump ran (callers read it)
+                self.validation_probs = self._val_acc.materialize()
 
-        self._watchdog.stop()
+        finally:
+            # Disarm even on exceptions: an orphaned armed
+            # watchdog would os._exit(86) unrelated later work
+            # and mask the real failure's exit code.
+            self._watchdog.stop()
         print("Finished Training")
 
     def _log_header(self, train_dataset, al_iteration) -> str:

@@ -40,6 +40,17 @@ class StallWatchdog:
     :param label: printed in the stall diagnostic.
     """
 
+    @classmethod
+    def from_config(cls, config, label: str) -> "StallWatchdog":
+        """Armed on real-TPU backends only (the hang mode is tunnel
+        RPC loss); disabled elsewhere (CPU CI must not be killed for
+        being slow)."""
+        import jax
+        timeout = float(getattr(config, "stall_watchdog_s", 0) or 0)
+        if jax.default_backend() != "tpu":
+            timeout = 0.0
+        return cls(timeout, label=label)
+
     def __init__(self, timeout_s: float = 900.0, label: str = "train"):
         self.timeout_s = float(timeout_s)
         self.label = label
