@@ -42,10 +42,12 @@ class ShapePlan:
     max_regions: int = 0           # R (weak-label sub-regions per sphere)
     max_region_points: int = 0     # P (points per sub-region)
     # Measured per-edge band half-windows for the banded Pallas kernels
-    # (ops/pallas/): {"conv": [W_l], "pool": [W_l], "up": [W_l]} in support
-    # rows, sized from observed per-tile index/key spreads at calibration
-    # time (ops/pyramid.measure_bands). None = analytic auto_band fallback.
-    bands: Optional[Dict[str, List[int]]] = None
+    # (ops/pallas/): {"search": {"conv"|"pool"|"up": [W_l]},
+    # "kpconv": {...}} in support rows — the radius search needs key-range
+    # windows, the conv needs (narrower) index-spread windows — sized from
+    # observed per-tile spreads at calibration time
+    # (ops/pyramid.measure_bands). None = analytic auto_band fallback.
+    bands: Optional[Dict[str, Dict[str, List[int]]]] = None
 
     @property
     def num_layers(self) -> int:
@@ -74,6 +76,52 @@ def payload_meta(payload: Dict, n0: int) -> Dict:
                 center=payload["center"],
                 has_regions=bool(payload.get("regions")),
                 n_real=min(payload["input_inds"].shape[0], n0))
+
+
+def fill_region_row(region_inds_b: np.ndarray,
+                    region_point_masks_b: np.ndarray,
+                    region_masks_b: np.ndarray,
+                    region_lb_b: np.ndarray,
+                    regions, limit: int,
+                    rng: np.random.Generator) -> None:
+    """Fill one sphere's rows of the padded region tables.
+
+    Single source for the weak-label region budget rule (filter members
+    past the kept-point `limit`, random-subsample crowded regions to P)
+    used identically by the host-pyramid (assemble_batch), fused
+    (assemble_level0) and resident (pack_payloads) paths — the parity
+    tests between those paths rely on the rule staying in lockstep.
+    """
+    R, P = region_inds_b.shape
+    for ri, (inds, lb) in enumerate((regions or [])[:R]):
+        inds = np.asarray(inds, dtype=np.int64)
+        inds = inds[inds < limit]
+        if inds.size == 0:
+            continue
+        if inds.size > P:
+            inds = rng.choice(inds, size=P, replace=False)
+        region_inds_b[ri, :inds.size] = inds
+        region_point_masks_b[ri, :inds.size] = True
+        region_masks_b[ri] = True
+        region_lb_b[ri] = lb
+
+
+def grid_rotations(rng: np.random.Generator, n: int) -> np.ndarray:
+    """[n, 3, 3] random vertical-axis rotations for voxel de-aliasing.
+
+    Shared by assemble_level0 and pack_payloads, which must draw the SAME
+    rng stream positions so the host and resident fused paths stay
+    bit-identical for a given seed.
+    """
+    theta = rng.random(n) * 2 * np.pi
+    c, s = np.cos(theta), np.sin(theta)
+    rotations = np.zeros((n, 3, 3), np.float32)
+    rotations[:, 0, 0] = c
+    rotations[:, 0, 1] = -s
+    rotations[:, 1, 0] = s
+    rotations[:, 1, 1] = c
+    rotations[:, 2, 2] = 1.0
+    return rotations
 
 
 def _round_up(x: int, m: int) -> int:
@@ -317,7 +365,6 @@ def assemble_batch(spheres: Sequence[Dict],
     lengths = [np.zeros((B,), np.int32) for l in range(L)]
     centers = np.zeros((B, 3), np.float32)
 
-    has_regions = any(s.get("regions") for s in spheres)
     R, P = plan.max_regions, plan.max_region_points
     cloud_lb = np.zeros((B, num_classes), np.float32)
     region_inds = np.full((B, max(R, 1), max(P, 1)),
@@ -354,17 +401,9 @@ def assemble_batch(spheres: Sequence[Dict],
         centers[b] = s.get("center", np.zeros(3))
         if s.get("cloud_lb") is not None:
             cloud_lb[b] = s["cloud_lb"]
-        for ri, (inds, lb) in enumerate((s.get("regions") or [])[:R]):
-            inds = np.asarray(inds, dtype=np.int64)
-            inds = inds[inds < k0]
-            if inds.size == 0:
-                continue
-            if inds.size > P:
-                inds = rng.choice(inds, size=P, replace=False)
-            region_inds[b, ri, :inds.size] = inds
-            region_point_masks[b, ri, :inds.size] = True
-            region_masks[b, ri] = True
-            region_lb[b, ri] = lb
+        fill_region_row(region_inds[b], region_point_masks[b],
+                        region_masks[b], region_lb[b],
+                        s.get("regions"), k0, rng)
 
     return PyramidBatch(
         points=tuple(points), masks=tuple(masks),
@@ -372,6 +411,6 @@ def assemble_batch(spheres: Sequence[Dict],
         upsamples=tuple(upsamples), features=features, labels=labels,
         lengths=tuple(lengths), center_pts=centers,
         cloud_lb=cloud_lb,
-        region_inds=region_inds if has_regions else region_inds,
+        region_inds=region_inds,
         region_masks=region_masks, region_point_masks=region_point_masks,
         region_lb=region_lb)

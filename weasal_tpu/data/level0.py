@@ -15,7 +15,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from weasal_tpu.data.batching import ShapePlan, payload_meta
+from weasal_tpu.data.batching import (
+    ShapePlan, fill_region_row, grid_rotations, payload_meta)
 from weasal_tpu.ops.subsample import SHADOW_COORD
 
 
@@ -58,14 +59,7 @@ def assemble_level0(payloads: Sequence[Dict],
     region_point_masks = np.zeros((B, R, P), bool)
     region_lb = np.zeros((B, R, num_classes), np.float32)
 
-    theta = rng.random(B) * 2 * np.pi
-    c, s = np.cos(theta), np.sin(theta)
-    rotations = np.zeros((B, 3, 3), np.float32)
-    rotations[:, 0, 0] = c
-    rotations[:, 0, 1] = -s
-    rotations[:, 1, 0] = s
-    rotations[:, 1, 1] = c
-    rotations[:, 2, 2] = 1.0
+    rotations = grid_rotations(rng, B)
 
     for b, p in enumerate(payloads):
         k = min(p["points"].shape[0], n0)
@@ -79,17 +73,9 @@ def assemble_level0(payloads: Sequence[Dict],
         centers[b] = p.get("center", np.zeros(3))
         if p.get("cloud_lb") is not None:
             cloud_lb[b] = p["cloud_lb"]
-        for ri, (inds, lb) in enumerate((p.get("regions") or [])[:R]):
-            inds = np.asarray(inds, dtype=np.int64)
-            inds = inds[inds < k]
-            if inds.size == 0:
-                continue
-            if inds.size > P:
-                inds = rng.choice(inds, size=P, replace=False)
-            region_inds[b, ri, :inds.size] = inds
-            region_point_masks[b, ri, :inds.size] = True
-            region_masks[b, ri] = True
-            region_lb[b, ri] = lb
+        fill_region_row(region_inds[b], region_point_masks[b],
+                        region_masks[b], region_lb[b],
+                        p.get("regions"), k, rng)
 
     return dict(points0=points0, mask0=mask0, features=features,
                 labels=labels, rotations=rotations, center_pts=centers,

@@ -39,7 +39,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-from weasal_tpu.data.batching import ShapePlan, payload_meta
+from weasal_tpu.data.batching import (
+    ShapePlan, fill_region_row, grid_rotations, payload_meta)
 from weasal_tpu.ops.subsample import SHADOW_COORD
 
 _KEY_SENTINEL = np.int32(2 ** 31 - 1)    # sort key for pad rows
@@ -171,15 +172,8 @@ def pack_payloads(payloads, plan: ShapePlan, config, rng,
 
     # Grid rotations for voxel de-aliasing — same draw (and same rng
     # stream position) as level0.assemble_level0
-    theta = rng.random(B) * 2 * np.pi
+    rotations = grid_rotations(rng, B)
     noise_seed = rng.integers(0, 2 ** 31, size=B).astype(np.uint32)
-    c, s = np.cos(theta), np.sin(theta)
-    rotations = np.zeros((B, 3, 3), np.float32)
-    rotations[:, 0, 0] = c
-    rotations[:, 0, 1] = -s
-    rotations[:, 1, 0] = s
-    rotations[:, 1, 1] = c
-    rotations[:, 2, 2] = 1.0
 
     for b, p in enumerate(payloads):
         inds = p["input_inds"]
@@ -191,17 +185,9 @@ def pack_payloads(payloads, plan: ShapePlan, config, rng,
         aug_rot[b] = p["rot"]
         aug_scale[b] = p["scale"]
         color_keep[b] = p.get("color_keep", 1.0)
-        for ri, (rinds, lb) in enumerate((p.get("regions") or [])[:R]):
-            rinds = np.asarray(rinds, dtype=np.int64)
-            rinds = rinds[rinds < k]
-            if rinds.size == 0:
-                continue
-            if rinds.size > P:
-                rinds = rng.choice(rinds, size=P, replace=False)
-            region_inds[b, ri, :rinds.size] = rinds
-            region_point_masks[b, ri, :rinds.size] = True
-            region_masks[b, ri] = True
-            region_lb[b, ri] = lb
+        fill_region_row(region_inds[b], region_point_masks[b],
+                        region_masks[b], region_lb[b],
+                        p.get("regions"), k, rng)
 
     return dict(flat_inds=flat_inds, center_pts=centers,
                 cloud_lb=cloud_lb, rotations=rotations,

@@ -58,14 +58,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 128
-DEFAULT_BAND = 512
-QUANTUM = 128          # window block rows; start quantized at this
-
-# v5e has 128 MB of VMEM; the default 16 MB *scoped* limit rejects the
-# resident dX/dW slabs of the widest convs. Raise it (leaving headroom
-# for Mosaic's own scratch).
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+from weasal_tpu.ops.pallas.common import (
+    COMPILER_PARAMS as _COMPILER_PARAMS, DEFAULT_BAND, DEFAULT_TILE,
+    QUANTUM, n_win as _n_win)
 
 
 def _membership_block(nb, block_start, t):
@@ -316,14 +311,6 @@ def _window_specs(tile, k_width, cin, n_win, n_tiles, n_blocks):
 def _kp_spec(kp):
     # Kernel points ride SMEM: the kernel reads them as scalars.
     return pl.BlockSpec(memory_space=pltpu.SMEM)
-
-
-def _n_win(band: int) -> int:
-    """Window block count for half-window W: start quantized at QUANTUM
-    covers spans <= (n_win-1)*QUANTUM + 1, so coverage >= W+1 needs
-    ceil(W/Q)+1 blocks (window ~= W+2Q rows vs the two-block scheme's
-    2W)."""
-    return -(-band // QUANTUM) + 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))

@@ -44,14 +44,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 128
-DEFAULT_BAND = 512
-QUANTUM = 128          # window block rows; start quantized at this
-
-# v5e has 128 MB of VMEM; the default 16 MB *scoped* limit rejects wide
-# windows at coarse levels. Raise it (headroom left for Mosaic's own
-# scratch).
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+from weasal_tpu.ops.pallas.common import (
+    COMPILER_PARAMS as _COMPILER_PARAMS, DEFAULT_BAND, DEFAULT_TILE,
+    QUANTUM, n_win as _n_win)
 
 
 def auto_band(radius: float, margin: float, nq: int, ns: int,
@@ -77,11 +72,6 @@ def auto_band(radius: float, margin: float, nq: int, ns: int,
     # tail past the mean-chord estimate (measured ~0.05% drops without it
     # on 133k-pt synthetic tiles; counted, but avoidable)
     return max(256, int(math.ceil((safety * span + 64) / 128.0)) * 128)
-
-
-def _n_win(band: int) -> int:
-    """Window block count for half-window W (coverage spans <= W+1)."""
-    return -(-band // QUANTUM) + 1
 
 
 def _search_kernel(starts_ref, q_ref, *s_refs, out_ref,

@@ -175,7 +175,9 @@ def build_pyramid_device(points0: jnp.ndarray,
         arbitrary but masked out)
     :param mask0: [B, N_0] validity
     :param rotations: optional [B, 3, 3] per-sphere grid rotations
-    :return: (points, masks, neighbors, pools, upsamples) tuples per level
+    :return: (points, masks, neighbors, pools, upsamples, overflow) —
+        per-level tuples plus the scalar count of banded-search window
+        overflows (0 on the XLA fallback path)
     """
     np_, cn, pn, un = _plan_tuple(plan)
     # Same per-level radius schedule as the host builder (incl. the wider
@@ -220,8 +222,8 @@ def batch_from_device_pyramid(points0, mask0, features, labels, config,
 # Band calibration: measured per-edge half-windows for the banded kernels
 # ----------------------------------------------------------------------
 
-_QUANTUM = 128   # must match ops/pallas/{radius_pallas,kpconv_banded}.QUANTUM
-_TILE = 128
+from weasal_tpu.ops.pallas.common import (  # single-sourced window scheme
+    DEFAULT_TILE as _TILE, QUANTUM as _QUANTUM)
 
 
 def _tile_need_conv(idx: "np.ndarray", ns: int,
