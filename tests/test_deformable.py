@@ -57,8 +57,7 @@ def test_deformable_forward_and_training_step():
     deform_aux = mutated.get("deform", {})
     assert deform_aux, "deformable blocks must sow regularizer inputs"
     reg = losses.p2p_fitting_regularizer(
-        deform_aux, cfg.repulse_extent, cfg.deform_fitting_power,
-        cfg.num_kernel_points)
+        deform_aux, cfg.repulse_extent, cfg.deform_fitting_power)
     assert np.isfinite(float(reg)) and float(reg) >= 0
 
     # One full training step with the deform regularizer in the loss
@@ -78,7 +77,7 @@ def test_deformable_forward_and_training_step():
                 batch.region_point_masks, batch.region_lb)
             loss = loss + losses.p2p_fitting_regularizer(
                 mutated["deform"], cfg.repulse_extent,
-                cfg.deform_fitting_power, cfg.num_kernel_points)
+                cfg.deform_fitting_power)
             return loss, mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(

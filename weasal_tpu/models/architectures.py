@@ -180,6 +180,7 @@ class KPFCNN_mprm(nn.Module):
         self.decoder_blocks = [
             block_decider(b, rr, di, do, li, cfg)
             for (b, rr, di, do, li) in dec]
+        self.decoder_levels = tuple(li for (_, _, _, _, li) in dec)
 
     def __call__(self, batch, train: bool = True):
         x = batch.features
@@ -197,8 +198,14 @@ class KPFCNN_mprm(nn.Module):
         cla_logits = [global_average(p, att_mask) for p in (no, pa, sa, ca)]
 
         paths = [no, pa, sa, ca]
-        for block in self.decoder_blocks:
-            paths = [block(p, batch, train) for p in paths]
+        for block, level in zip(self.decoder_blocks, self.decoder_levels):
+            if isinstance(block, UnaryBlock):
+                # UnaryBlock takes (features, mask) — same dispatch as the
+                # KPFCNN decoder; conv/upsample blocks take the batch
+                paths = [block(p, batch.masks[level], train)
+                         for p in paths]
+            else:
+                paths = [block(p, batch, train) for p in paths]
         no, pa, sa, ca = paths
 
         x = jnp.maximum(jnp.maximum(no, pa), jnp.maximum(sa, ca))

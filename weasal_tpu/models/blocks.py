@@ -218,10 +218,17 @@ class KPConv(nn.Module):
                      init_fn=lambda: jnp.zeros((), jnp.float32),
                      reduce_fn=lambda a, b: a + b)
         if self.deformable:
-            # Stash regularizer inputs (read via mutable 'deform' collection)
+            # Stash regularizer inputs (read via mutable 'deform'
+            # collection). q_valid excludes padded query rows (all-shadow
+            # neighbor lists) so the regularizer means run over real
+            # points only, like the reference's ragged stacking
+            # (architectures.py:24-57).
             self.sow("deform", "min_sq", min_sq / self.kp_extent ** 2)
             self.sow("deform", "deformed_kp",
                      (kernel_points[None, None] + offsets) / self.kp_extent)
+            self.sow("deform", "q_valid",
+                     jnp.any(neighb_inds < s_pts.shape[-2],
+                             axis=-1).astype(jnp.float32))
         return out
 
 
@@ -251,7 +258,7 @@ class _ConvBlockBase(nn.Module):
 
 
 def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
-                 name="KPConv"):
+                 path=(), name="KPConv"):
     import zlib
     cfg = parent_cfg
     current_extent = radius * cfg.KP_extent / cfg.conv_radius
@@ -266,9 +273,14 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
         if layer_ind < len(row):
             band = int(row[layer_ind])
     # Deterministic per-op pose seed (each KPConv gets its own randomized
-    # kernel disposition, like the reference's per-instance load_kernels)
+    # kernel disposition, like the reference's per-instance load_kernels).
+    # The flax module path disambiguates convs with identical signatures
+    # (e.g. an attention block's simple1/simple2) — without it they would
+    # share one "random" pose.
     seed = zlib.crc32(
-        f"{block_name}|{in_dim}|{out_dim}|{radius:.6f}|{layer_ind}".encode())
+        ("/".join(path) + "|"
+         + f"{block_name}|{in_dim}|{out_dim}|{radius:.6f}|{layer_ind}"
+         ).encode())
     return KPConv(
         cfg.num_kernel_points, cfg.in_points_dim, in_dim, out_dim,
         current_extent, radius,
@@ -295,8 +307,9 @@ class SimpleBlock(_ConvBlockBase):
         cfg = self.config
         q_pts, s_pts, neighb, out_mask = _conv_inputs(
             self.block_name, self.layer_ind, batch)
-        x = _make_kpconv(cfg, self.block_name, self.in_dim, self.out_dim // 2,
-                         self.radius, self.layer_ind)(q_pts, s_pts, neighb, x)
+        x = _make_kpconv(cfg, self.block_name, self.in_dim,
+                         self.out_dim // 2, self.radius, self.layer_ind,
+                         path=self.path)(q_pts, s_pts, neighb, x)
         x = MaskedBatchNorm(cfg.use_batch_norm, cfg.batch_norm_momentum,
                             name="batch_norm")(x, out_mask, train)
         return leaky_relu(x)
@@ -311,7 +324,8 @@ class SimpleBlock2(_ConvBlockBase):
         q_pts, s_pts, neighb, out_mask = _conv_inputs(
             self.block_name, self.layer_ind, batch)
         x = _make_kpconv(cfg, self.block_name, self.in_dim, self.out_dim,
-                         self.radius, self.layer_ind)(q_pts, s_pts, neighb, x)
+                         self.radius, self.layer_ind,
+                         path=self.path)(q_pts, s_pts, neighb, x)
         x = MaskedBatchNorm(cfg.use_batch_norm, cfg.batch_norm_momentum,
                             name="batch_norm")(x, out_mask, train)
         return leaky_relu(x)
@@ -336,8 +350,8 @@ class ResnetBottleneckBlock(_ConvBlockBase):
             x = features
 
         x = _make_kpconv(cfg, self.block_name, self.out_dim // 4,
-                         self.out_dim // 4, self.radius,
-                         self.layer_ind)(q_pts, s_pts, neighb, x)
+                         self.out_dim // 4, self.radius, self.layer_ind,
+                         path=self.path)(q_pts, s_pts, neighb, x)
         x = MaskedBatchNorm(cfg.use_batch_norm, cfg.batch_norm_momentum,
                             name="batch_norm_conv")(x, out_mask, train)
         x = leaky_relu(x)

@@ -109,36 +109,49 @@ def region_mprm_loss(cam: Sequence[jnp.ndarray],
     return total
 
 
+def _deform_modules(tree: dict):
+    """Yield each deformable conv's sown dict ('min_sq', 'deformed_kp',
+    'q_valid' tuples) from the nested 'deform' collection."""
+    if isinstance(tree, dict):
+        if "min_sq" in tree or "deformed_kp" in tree:
+            yield tree
+        else:
+            for v in tree.values():
+                yield from _deform_modules(v)
+
+
 def p2p_fitting_regularizer(deform_aux: dict,
                             repulse_extent: float,
-                            deform_fitting_power: float,
-                            num_kernel_points: int) -> jnp.ndarray:
+                            deform_fitting_power: float) -> jnp.ndarray:
     """Deformable-kernel fitting + repulsion regularizer
     (reference models/architectures.py:24-57).
 
     :param deform_aux: the mutated 'deform' collection from a forward pass;
-        leaves come in pairs ('min_sq' [B,N,K] extent-normalized squared
+        per deformable conv: 'min_sq' [B,N,K] extent-normalized squared
         distance to nearest input point, 'deformed_kp' [B,N,K,3] normalized
-        positions).
+        positions, 'q_valid' [B,N] real-query mask. Means run over REAL
+        query rows only — the reference stacks ragged real points, so
+        dense padding must not dilute the fit/repulsion strength.
     """
     fitting = 0.0
     repulsive = 0.0
-    leaves = jax.tree_util.tree_leaves_with_path(deform_aux)
-    for path, leaf in leaves:
-        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if any("min_sq" in str(k) for k in keys):
-            fitting = fitting + jnp.mean(jnp.abs(leaf))
-        elif any("deformed_kp" in str(k) for k in keys):
-            kp = leaf
-            k = kp.shape[-2]
-            diff = kp[..., :, None, :] - jax.lax.stop_gradient(
-                kp[..., None, :, :])
-            dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
-            off_diag = 1.0 - jnp.eye(k)
-            rep = jnp.clip(dist - repulse_extent, max=0.0) ** 2 * off_diag
-            # sum_i mean(rep_i) / K == mean over (batch, point, i) of the
-            # per-kernel-point repulsion sums (architectures.py:51-55)
-            repulsive = repulsive + jnp.mean(jnp.sum(rep, axis=-1))
+    for mod in _deform_modules(deform_aux):
+        m = mod["q_valid"][0]                                  # [B, N]
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        min_sq = mod["min_sq"][0]                              # [B, N, K]
+        k = min_sq.shape[-1]
+        fitting = fitting + jnp.sum(
+            jnp.abs(min_sq) * m[..., None]) / (denom * k)
+        kp = mod["deformed_kp"][0]                             # [B, N, K, 3]
+        diff = kp[..., :, None, :] - jax.lax.stop_gradient(
+            kp[..., None, :, :])
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+        off_diag = 1.0 - jnp.eye(k)
+        rep = jnp.clip(dist - repulse_extent, max=0.0) ** 2 * off_diag
+        # sum_i mean(rep_i) / K == mean over (real point, i) of the
+        # per-kernel-point repulsion sums (architectures.py:51-55)
+        repulsive = repulsive + jnp.sum(
+            jnp.sum(rep, axis=-1) * m[..., None]) / (denom * k)
     return deform_fitting_power * (2 * fitting + repulsive)
 
 

@@ -283,8 +283,7 @@ class ModelTrainer:
                 if deform_aux:
                     reg_loss = losses.p2p_fitting_regularizer(
                         deform_aux, config.repulse_extent,
-                        config.deform_fitting_power,
-                        config.num_kernel_points)
+                        config.deform_fitting_power)
 
                 if mode == "weak":
                     logits, cla_logits, cam = out

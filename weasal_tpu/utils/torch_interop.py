@@ -179,13 +179,16 @@ def flax_to_torch_state(params: Dict, batch_stats: Dict,
     walk(batch_stats or {}, (), "batch_stats")
     walk(constants or {}, (), "constants")
 
-    # Resolve BN bias naming: when running stats exist for a batch_norm
-    # path, its bias belongs to the inner nn.BatchNorm1d.
+    # Resolve BN bias naming: when the path has running stats OR a scale
+    # parameter (use_bn=True — detectable even when the caller passes
+    # batch_stats=None), its bias belongs to the inner nn.BatchNorm1d;
+    # otherwise it is the bias-only fallback's own parameter.
     for key in list(out.keys()):
         if key.endswith(".bias") and key.rsplit(".", 1)[0].split(".")[-1] \
                 in _BN_WRAPPER_NAMES:
             base = key.rsplit(".", 1)[0]
-            if base + ".batch_norm.running_mean" in out:
+            if (base + ".batch_norm.running_mean" in out
+                    or base + ".batch_norm.weight" in out):
                 out[base + ".batch_norm.bias"] = out.pop(key)
     return out
 
