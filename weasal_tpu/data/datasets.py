@@ -439,9 +439,38 @@ class CloudSegmentationDataset:
     def _sphere_features(self, colors, aug_points, center) -> np.ndarray:
         raise NotImplementedError
 
+    def _cloud_points_f32(self, cloud_ind: int) -> np.ndarray:
+        """Per-cloud float32 point arrays, converted once (the KDTree
+        stores float64; a fresh full-cloud copy per sphere draw was
+        measurable on the single-core host)."""
+        cache = getattr(self, "_pts_f32", None)
+        if cache is None:
+            cache = self._pts_f32 = {}
+        if cloud_ind not in cache:
+            cache[cloud_ind] = np.asarray(
+                self.input_trees[cloud_ind].data, dtype=np.float32)
+        return cache[cloud_ind]
+
+    def _label_table(self) -> np.ndarray:
+        """Vectorized label_to_idx lookup table (raw label -> train idx)."""
+        table = getattr(self, "_lbl_table", None)
+        if table is None:
+            table = np.full(int(max(self.label_to_idx)) + 1, -1, np.int32)
+            for raw, idx in self.label_to_idx.items():
+                table[raw] = idx
+            self._lbl_table = table
+        return table
+
     def sample_sphere(self, rng, augment: bool = True,
                       max_points: int = 0, gather: bool = True) -> Dict:
         """Draw one input sphere; returns the payload dict for batching.
+
+        `augment` is honored on EVERY split: the reference's
+        `potential_item` augments unconditionally
+        (Vaihingen3D_WeakLabel.py:478-482), so validation smoothing and
+        test voting average over random rotations/scales/color drops.
+        Callers choose the protocol (training loops pass True; parity
+        oracles pass False).
 
         With ``gather=False`` (the resident-cloud fused path,
         weasal_tpu/data/resident.py) the per-point payload columns
@@ -457,8 +486,6 @@ class CloudSegmentationDataset:
             else:
                 cloud_ind, point_ind, center = \
                     self._sample_random_center(rng)
-            points = np.asarray(self.input_trees[cloud_ind].data,
-                                dtype=np.float32)
             input_inds = self.input_trees[cloud_ind].query_radius(
                 center, r=cfg.in_radius)[0]
             if input_inds.shape[0] >= 2:
@@ -502,13 +529,12 @@ class CloudSegmentationDataset:
                     idx = self.label_to_idx[l]
                     if 0 <= idx < cfg.num_classes:
                         cloud_lb[idx] = 1
-            if augment and self.split == "training":
+            if augment:
                 scale, R = self.augmentation_params(rng)
             else:
                 scale, R = np.ones(3, np.float32), np.eye(3, dtype=np.float32)
             color_keep = 1.0
-            if (self.input_colors[cloud_ind] is not None
-                    and self.split == "training"
+            if (augment and self.input_colors[cloud_ind] is not None
                     and rng.random() > cfg.augment_color):
                 color_keep = 0.0
             return dict(points=None, features=None, labels=None,
@@ -517,6 +543,7 @@ class CloudSegmentationDataset:
                         cloud_lb=cloud_lb, regions=regions, scale=scale,
                         rot=R, color_keep=color_keep)
 
+        points = self._cloud_points_f32(cloud_ind)
         input_points = (points[input_inds] - center).astype(np.float32)
         colors = (self.input_colors[cloud_ind][input_inds]
                   if self.input_colors[cloud_ind] is not None else None)
@@ -526,21 +553,20 @@ class CloudSegmentationDataset:
             cloud_lb = None
         else:
             raw = self.input_labels[cloud_ind][input_inds]
-            labels = np.array([self.label_to_idx[l] for l in raw],
-                              dtype=np.int32)
+            labels = self._label_table()[np.asarray(raw, np.int64)]
             cloud_lb = np.zeros(cfg.num_classes, np.float32)
             present = np.unique(labels)
             cloud_lb[present[present < cfg.num_classes]] = 1
 
-        if augment and self.split == "training":
+        if augment:
             aug_points, scale, R = self.augmentation_transform(
                 input_points, rng)
         else:
             aug_points, scale, R = input_points, np.ones(3, np.float32), \
                 np.eye(3, dtype=np.float32)
 
-        if colors is not None and rng.random() > cfg.augment_color \
-                and self.split == "training":
+        if augment and colors is not None \
+                and rng.random() > cfg.augment_color:
             colors = colors * 0
 
         features = self._sphere_features(colors, aug_points, center)
@@ -627,8 +653,13 @@ class CloudSegmentationDataset:
         if exists(plan_file):
             with open(plan_file) as f:
                 plans = json.load(f)
-        key = "potentials_{:.3f}_{:.3f}_{:d}_{:d}".format(
-            cfg.in_radius, cfg.first_subsampling_dl, cfg.batch_num,
+        # Sampling mode is part of the key: random-center (PL
+        # use_potentials=False) spheres sit on class-balanced points and
+        # have different size/neighbor distributions than potential-grid
+        # centers, so the percentile budgets must not be shared.
+        mode = "potentials" if self.use_potentials else "random"
+        key = "{}_{:.3f}_{:.3f}_{:d}_{:d}".format(
+            mode, cfg.in_radius, cfg.first_subsampling_dl, cfg.batch_num,
             cfg.num_layers)
         if key in plans and not force_redo:
             plan = ShapePlan(**plans[key])

@@ -103,15 +103,12 @@ class ResidentClouds:
 
 
 def _mapped_labels(dataset, cloud_ind) -> Optional[np.ndarray]:
-    """input_labels -> train indices via a vectorized label_to_idx table
-    (same mapping as sample_sphere's per-point dict lookup)."""
+    """input_labels -> train indices via the dataset's vectorized
+    label_to_idx table (same mapping as sample_sphere's)."""
     lbl = dataset.input_labels[cloud_ind]
     if lbl is None:
         return None
-    table = np.full(int(max(dataset.label_to_idx)) + 1, -1, np.int32)
-    for raw, idx in dataset.label_to_idx.items():
-        table[raw] = idx
-    return table[np.asarray(lbl, np.int64)]
+    return dataset._label_table()[np.asarray(lbl, np.int64)]
 
 
 class ResidentBatchSource:

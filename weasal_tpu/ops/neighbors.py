@@ -100,14 +100,15 @@ def batch_radius_search(queries: np.ndarray,
         local = radius_search(queries[qi0:qi0 + ql],
                               supports[si0:si0 + sl], radius, max_count)
         shadow = local == sl
-        local = local.astype(np.int64) + si0
+        local = local.astype(np.int32) + np.int32(si0)
         local[shadow] = n_total
         per_elem.append(local)
         qi0 += ql
         si0 += sl
 
     width = max_count if max_count else max(p.shape[1] for p in per_elem)
-    out = np.full((queries.shape[0], width), n_total, dtype=np.int64)
+    # int32 like radius_search and the reference's batch_query
+    out = np.full((queries.shape[0], width), n_total, dtype=np.int32)
     qi0 = 0
     for p in per_elem:
         out[qi0:qi0 + p.shape[0], :p.shape[1]] = p[:, :width]

@@ -180,6 +180,16 @@ def build_pyramid_device(points0: jnp.ndarray,
         overflows (0 on the XLA fallback path)
     """
     np_, cn, pn, un = _plan_tuple(plan)
+    # grid_extent_cells bounds the voxel grid at 2.5*r (+2 cells): points
+    # pushed past that by scale augmentation would be silently CLIPPED
+    # into border voxels (wrong barycenters at every level), so refuse
+    # configs the bound cannot cover rather than corrupt geometry.
+    scale_max = float(getattr(config, "augment_scale_max", 1.0) or 1.0)
+    if scale_max > 1.25:
+        raise ValueError(
+            f"augment_scale_max={scale_max} exceeds the device pyramid's "
+            "voxel-extent bound (2.5*in_radius covers scales <= 1.25); "
+            "reduce the augmentation range or widen grid_extent_cells")
     # Same per-level radius schedule as the host builder (incl. the wider
     # deform-layer radii, datasets/common.py:487-534)
     conv_r, pool_r, up_r = layer_radii(config)

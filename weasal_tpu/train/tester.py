@@ -72,13 +72,19 @@ class ModelTester:
         @jax.jit
         def eval_step(state, batch):
             unsort = None
+            d2 = None
             if isinstance(batch, dict):
                 if "flat_inds" in batch:
                     from weasal_tpu.data.resident import (
                         assemble_level0_device)
+                    # augment=True: reference voting averages over
+                    # augmentations (potential_item augments at every
+                    # split) and masks votes on AUGMENTED coordinates
                     batch = assemble_level0_device(
-                        batch, config, plan, augment=False, spec=spec)
+                        batch, config, plan, augment=True, spec=spec)
                     unsort = batch.pop("unsort")
+                    pts = batch["points0"]
+                    d2 = jnp.sum(pts * pts, axis=-1)    # sorted order
                 # Fused path: level-0 arrays in, pyramid built in-jit (same
                 # program shape as the fused train step)
                 from weasal_tpu.ops.pyramid import batch_from_device_pyramid
@@ -100,7 +106,8 @@ class ModelTester:
             if unsort is not None:
                 # back to input_inds order for the host-side vote scatter
                 probs = jnp.take_along_axis(probs, unsort[..., None], axis=1)
-            return probs
+                d2 = jnp.take_along_axis(d2, unsort, axis=1)
+            return probs, d2
 
         self._eval_step = eval_step
 
@@ -179,17 +186,20 @@ class ModelTester:
 
         try:
             while True:
+                # augment=True: the reference's voting protocol averages
+                # smoothed votes over random augmentations (its test
+                # loaders run the same augmenting potential_item)
                 prefetcher = BatchPrefetcher(batch_source, self.plan,
                                              config.validation_size, rng=rng,
-                                             augment=False,
+                                             augment=True,
                                              extra_arrays=extra_arrays)
                 for i, (batch, metas) in enumerate(prefetcher):
-                    probs_dev = self._eval_step(self.state, batch)
+                    probs_dev, d2_dev = self._eval_step(self.state, batch)
                     if vote_acc is not None:
                         # probs are already back in input_inds order; the
-                        # radius mask and smoothing run in-jit against the
-                        # resident cloud rows
-                        vote_acc.update(probs_dev, batch)
+                        # radius mask (augmented coordinates) and smoothing
+                        # run in-jit
+                        vote_acc.update(probs_dev, batch, d2=d2_dev)
                     else:
                         probs_all = np.asarray(probs_dev)
                         points_all = np.asarray(batch["points0"]

@@ -351,8 +351,12 @@ class ModelTrainer:
                 if "flat_inds" in batch:
                     from weasal_tpu.data.resident import (
                         assemble_level0_device)
+                    # augment=True: the reference's validation loader
+                    # augments unconditionally (potential_item,
+                    # Vaihingen3D_WeakLabel.py:478), so smoothed val probs
+                    # average over augmentations
                     batch = assemble_level0_device(
-                        batch, config, plan, augment=False, spec=spec)
+                        batch, config, plan, augment=True, spec=spec)
                     # Device assembly voxel-sorts the sphere; outputs are
                     # gathered back to input_inds order for the host
                     unsort = batch.pop("unsort")
@@ -748,7 +752,7 @@ class ModelTrainer:
             val_sharding = batch_sharding(self.mesh)
         prefetcher = BatchPrefetcher(val_source, self.plan,
                                      config.validation_size, rng=rng,
-                                     augment=False, sharding=val_sharding,
+                                     augment=True, sharding=val_sharding,
                                      extra_arrays=val_extra)
         # Model-class index -> position in label_values (the reference
         # inserts zero columns for ignored labels before the argmax,

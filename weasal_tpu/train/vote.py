@@ -57,14 +57,22 @@ class DeviceVoteAccumulator:
         radius_sq = None if radius_sq is None else float(radius_sq)
         shadow = S - 1
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def update(flat, probs, flat_inds, centers, res_points):
+        @partial(jax.jit, static_argnames=("use_d2",), donate_argnums=(0,))
+        def update(flat, probs, flat_inds, centers, res_points, d2,
+                   use_d2: bool):
             def body(acc, sphere):
-                p, idx, ctr = sphere                     # [n0,C],[n0],[3]
+                p, idx, ctr, dd = sphere         # [n0,C],[n0],[3],[n0]
                 valid = idx < shadow
                 if radius_sq is not None:
-                    rel = res_points[idx] - ctr[None, :]
-                    valid = valid & (jnp.sum(rel * rel, axis=1) < radius_sq)
+                    if use_d2:
+                        # squared distances of the AUGMENTED points (the
+                        # reference masks augmented coordinates,
+                        # tester_WeakLabel.py:188-194)
+                        valid = valid & (dd < radius_sq)
+                    else:
+                        rel = res_points[idx] - ctr[None, :]
+                        valid = valid & (
+                            jnp.sum(rel * rel, axis=1) < radius_sq)
                 tgt = jnp.where(valid, idx, shadow)
                 cur = acc[tgt]
                 new = smooth * cur + (1.0 - smooth) * p
@@ -74,17 +82,26 @@ class DeviceVoteAccumulator:
 
             flat, _ = jax.lax.scan(
                 body, flat,
-                (probs.astype(jnp.float32), flat_inds, centers))
+                (probs.astype(jnp.float32), flat_inds, centers, d2))
             return flat
 
         self._update = update
 
-    def update(self, probs, batch) -> None:
+    def update(self, probs, batch, d2=None) -> None:
         """Smooth one eval batch's probs (input_inds order) into the
-        buffers; everything stays on device."""
+        buffers; everything stays on device. `d2` [B, n0] are squared
+        center distances of the (augmented) points in input_inds order;
+        without it the radius mask uses the raw resident geometry."""
+        import jax.numpy as jnp
+
+        if d2 is None:
+            d2 = jnp.zeros(probs.shape[:2], jnp.float32)
+            use_d2 = False
+        else:
+            use_d2 = True
         self._flat = self._update(self._flat, probs, batch["flat_inds"],
                                   batch["center_pts"],
-                                  batch["res_points"])
+                                  batch["res_points"], d2, use_d2=use_d2)
 
     def materialize(self) -> List[np.ndarray]:
         """One D2H fetch -> per-cloud [n_i, C] float arrays (the same
