@@ -148,7 +148,9 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
         config.load(args.resume)
         iter_files = [f for f in os.listdir(config.saving_path)
                       if f.startswith("training_iteration")]
-        iteration_previous = len(iter_files) - 1
+        # A run that crashed before its first training_iteration file
+        # resumes at iteration 0, not -1
+        iteration_previous = max(len(iter_files) - 1, 0)
         chosen_chkp = os.path.join(config.saving_path, "checkpoints",
                                    "current_chkp.tar")
         config.saving_path = None

@@ -31,6 +31,13 @@ def make_mesh(num_devices: Optional[int] = None,
     if devices is None:
         devices = jax.devices()
     if num_devices:
+        if num_devices > len(devices):
+            # Never truncate silently: the caller has already sized
+            # batch_num for the requested count, and a smaller mesh would
+            # train with wrong per-device math while reporting N-way
+            raise ValueError(
+                f"requested {num_devices} data-parallel devices but only "
+                f"{len(devices)} are available")
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
 

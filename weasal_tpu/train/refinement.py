@@ -71,6 +71,22 @@ def refine_pseudo_labels(weak_label_log: str,
         join(pred_dir, f) for f in listdir(pred_dir)
         if isfile(join(pred_dir, f)) and f.endswith(".ply"))
 
+    # Guard against a partial probability dump: every weak-label training
+    # cloud (identified by its anchor pickle) must have a prediction ply,
+    # otherwise the pseudo labels and especially the class-weight file
+    # would be silently computed from a subset (the reference enumerates
+    # the training folder and crashes on the missing file).
+    expected = sorted({f.split("_anchors")[0]
+                       for f in listdir(sub_folder) if "_anchors_" in f})
+    got = {file.split("/")[-1].split(".ply")[0]
+           for file in refinement_list}
+    missing = [c for c in expected if c not in got]
+    if missing:
+        raise FileNotFoundError(
+            f"predictions missing for training cloud(s) {missing} in "
+            f"{pred_dir} — rerun the probability dump "
+            "(test_models.py --on train) to completion first")
+
     print(f"\nPseudo label refinement for {weak_label_log} "
           f"with threshold {threshold}%:\n")
     counts = np.zeros(config.num_classes, np.int64)

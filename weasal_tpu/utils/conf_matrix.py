@@ -62,9 +62,13 @@ def plot(confusion: np.ndarray,
     names = [label_to_names[k] for k in sorted(label_to_names)]
     n = len(names)
     C = np.asarray(confusion, dtype=np.float64)
-    if C.shape[0] != n:
-        # Tolerate matrices padded with unused labels
+    if C.shape[0] > n:
+        # Tolerate matrices padded with TRAILING unused labels
         C = C[:n, :n]
+    elif C.shape[0] < n:
+        raise ValueError(
+            f"confusion matrix has {C.shape[0]} classes but "
+            f"label_to_names declares {n}; pass matching names")
 
     stats = analyze(C)
     row_sum = C.sum(axis=1, keepdims=True)

@@ -45,8 +45,17 @@ def fast_confusion(true: np.ndarray,
         true = label_map[true]
         pred = label_map[pred]
 
-    vec = np.bincount(true * num_classes + pred, minlength=num_classes ** 2)
-    return vec[:num_classes ** 2].reshape(num_classes, num_classes)
+    idx = true * num_classes + pred
+    if idx.size and (idx.max() >= num_classes ** 2 or idx.min() < 0):
+        # Fail loudly like the reference's reshape would: a label outside
+        # label_values (e.g. NO_LABEL=10 leaking into a 9-class eval)
+        # must not silently alias into a wrong confusion cell
+        bad_t = np.setdiff1d(np.unique(true), np.arange(num_classes))
+        bad_p = np.setdiff1d(np.unique(pred), np.arange(num_classes))
+        raise ValueError(
+            f"labels outside label_values: true={bad_t}, pred={bad_p}")
+    vec = np.bincount(idx, minlength=num_classes ** 2)
+    return vec.reshape(num_classes, num_classes)
 
 
 def metrics_from_confusions(confusions: np.ndarray,
@@ -72,7 +81,13 @@ def metrics_from_confusions(confusions: np.ndarray,
 
 def smooth_metrics(confusions: np.ndarray, smooth_n: int = 0,
                    ignore_unclassified: bool = False):
-    """Metrics smoothed by summing +-smooth_n confusions along the epoch axis."""
+    """Metrics smoothed by summing +-smooth_n confusions along the epoch axis.
+
+    Parity quirk: the reference's smooth_metrics (utils/metrics.py:158-201)
+    computes PRE = TP/row-sums and REC = TP/col-sums — SWAPPED relative to
+    its own metrics() — and downstream consumers were written against that
+    convention, so this port reproduces it rather than 'fixing' it.
+    """
     confusions = np.asarray(confusions)
     smoothed = confusions.copy()
     if confusions.ndim > 2 and smooth_n > 0:
@@ -82,7 +97,9 @@ def smooth_metrics(confusions: np.ndarray, smooth_n: int = 0,
             i1 = min(epoch + smooth_n + 1, n_epochs)
             smoothed[..., epoch, :, :] = np.sum(
                 confusions[..., i0:i1, :, :], axis=-3)
-    return metrics_from_confusions(smoothed, ignore_unclassified)
+    pre, rec, f1, iou, acc = metrics_from_confusions(
+        smoothed, ignore_unclassified)
+    return rec, pre, f1, iou, acc
 
 
 def IoU_from_confusions(confusions: np.ndarray) -> np.ndarray:

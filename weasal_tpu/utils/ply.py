@@ -100,8 +100,12 @@ def read_ply(filename: str) -> np.ndarray:
 
         if fmt == "ascii":
             dtype = np.dtype([(name, "<" + t) for name, t in properties])
-            rows = np.loadtxt(f, max_rows=n, ndmin=2)
             data = np.empty(n, dtype=dtype)
+            if n == 0:
+                # loadtxt of empty content yields shape (0, 1), which
+                # would IndexError on the second property
+                return data
+            rows = np.loadtxt(f, max_rows=n, ndmin=2)
             for i, (name, _) in enumerate(properties):
                 data[name] = rows[:, i]
             return data
@@ -193,12 +197,22 @@ def write_ply(filename: str,
             f.write("\n".join(header))
             stacked = np.column_stack([col.astype(np.float64)
                                        for col, _ in columns])
-            np.savetxt(f, stacked, fmt="%.8g")
+            fmts = ["%d" if np.issubdtype(col.dtype, np.integer)
+                    else "%.8g" for col, _ in columns]
+            np.savetxt(f, stacked, fmt=fmts)
     else:
         dtype = np.dtype([(name, dt.newbyteorder("<"))
                           for name, dt in zip(field_names, disk_dtypes)])
         data = np.empty(n_points, dtype=dtype)
         for name, (col, _), ddt in zip(field_names, columns, disk_dtypes):
+            if np.issubdtype(col.dtype, np.integer) and \
+                    col.dtype.itemsize > ddt.itemsize and col.size:
+                info = np.iinfo(ddt)
+                lo, hi = int(col.min()), int(col.max())
+                if lo < info.min or hi > info.max:
+                    raise OverflowError(
+                        f"column {name!r} range [{lo}, {hi}] does not fit "
+                        f"the PLY disk type {ddt} — values would wrap")
             data[name] = col.astype(ddt)
         with open(filename, "wb") as f:
             f.write("\n".join(header).encode("ascii"))
