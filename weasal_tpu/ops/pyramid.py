@@ -61,8 +61,9 @@ def _edge_band(bands, edge: str, l: int) -> int:
 @partial(jax.jit, static_argnames=("num_points", "conv_neighbors",
                                    "pool_neighbors", "up_neighbors",
                                    "dl0", "conv_radii", "pool_radii",
-                                   "up_radii", "in_radius", "chunk",
-                                   "banded", "band", "bands", "interpret"))
+                                   "up_radii", "in_radius", "scale_max",
+                                   "chunk", "banded", "band", "bands",
+                                   "interpret"))
 def _build_pyramid(points0: jnp.ndarray,
                    mask0: jnp.ndarray,
                    rotations: Optional[jnp.ndarray],
@@ -75,6 +76,7 @@ def _build_pyramid(points0: jnp.ndarray,
                    pool_radii: Tuple[float, ...],
                    up_radii: Tuple[float, ...],
                    in_radius: float,
+                   scale_max: float = 1.25,
                    chunk: int = 512,
                    banded: bool = False,
                    band: int = 512,
@@ -87,7 +89,7 @@ def _build_pyramid(points0: jnp.ndarray,
     # Subsampled levels (optionally in a rotated frame per sphere)
     for l in range(L - 1):
         dl = dl0 * (2 ** (l + 1))
-        n_cells = grid_extent_cells(in_radius, dl)
+        n_cells = grid_extent_cells(in_radius, dl, scale_max)
         pts, msk = points[l], masks[l]
         if rotations is not None:
             # HIGHEST precision: default matmuls run at bf16 granularity on
@@ -127,11 +129,13 @@ def _build_pyramid(points0: jnp.ndarray,
             # Sort slack: only the SUPPORT side's key disorder matters
             # (tile lo/hi come from actual query keys); that disorder is
             # bounded by the support level's voxel size. Level 0 is sorted
-            # by assemble_level0 at extent/256 (~2.2*in_radius/256), which
-            # can exceed dl0 for deep configs — take the larger bound.
+            # by assemble_level0 at extent/256 with extent up to
+            # 2*scale_max*in_radius under scale augmentation, which can
+            # exceed dl0 for deep configs — take the larger bound.
             margin = dl0 * (2 ** ls)
             if ls == 0:
-                margin = max(margin, 2.5 * in_radius / 256.0)
+                margin = max(margin,
+                             2.0 * max(scale_max, 1.1) * in_radius / 256.0)
             w = band if band else _edge_band(bands, edge, l)
             if not w:
                 w = auto_band(
@@ -180,16 +184,13 @@ def build_pyramid_device(points0: jnp.ndarray,
         overflows (0 on the XLA fallback path)
     """
     np_, cn, pn, un = _plan_tuple(plan)
-    # grid_extent_cells bounds the voxel grid at 2.5*r (+2 cells): points
-    # pushed past that by scale augmentation would be silently CLIPPED
-    # into border voxels (wrong barycenters at every level), so refuse
-    # configs the bound cannot cover rather than corrupt geometry.
-    scale_max = float(getattr(config, "augment_scale_max", 1.0) or 1.0)
-    if scale_max > 1.25:
-        raise ValueError(
-            f"augment_scale_max={scale_max} exceeds the device pyramid's "
-            "voxel-extent bound (2.5*in_radius covers scales <= 1.25); "
-            "reduce the augmentation range or widen grid_extent_cells")
+    # The voxel-extent bound must cover scale augmentation (the
+    # reference's PL configs scale up to 1.8x) or out-of-extent points
+    # would be silently CLIPPED into border voxels (wrong barycenters at
+    # every level); n_cells only bounds sort-key ranges, so covering the
+    # config's actual scale range is free.
+    scale_max = max(
+        1.25, float(getattr(config, "augment_scale_max", 1.0) or 1.0))
     # Same per-level radius schedule as the host builder (incl. the wider
     # deform-layer radii, datasets/common.py:487-534)
     conv_r, pool_r, up_r = layer_radii(config)
@@ -198,7 +199,8 @@ def build_pyramid_device(points0: jnp.ndarray,
                           tuple(float(r) for r in conv_r),
                           tuple(float(r) for r in pool_r),
                           tuple(float(r) for r in up_r),
-                          float(config.in_radius), chunk,
+                          float(config.in_radius),
+                          scale_max=scale_max, chunk=chunk,
                           banded=resolve_pallas_flag(
                               getattr(config, "use_pallas_search", False)),
                           band=int(getattr(config, "pallas_band", 0)),

@@ -142,13 +142,17 @@ def batch_grid_subsample(points: np.ndarray,
 # Device (JAX) fixed-shape version
 # ----------------------------------------------------------------------------
 
-def grid_extent_cells(in_radius: float, dl: float) -> int:
+def grid_extent_cells(in_radius: float, dl: float,
+                      scale_max: float = 1.25) -> int:
     """Static per-axis voxel count bound for points inside a sphere batch.
 
-    Sphere points live in [-r, r] after centering; +2 covers the floor
-    offset of the min-corner anchor and augmentation scale up to ~1.25x.
+    Sphere points live in [-scale_max*r, scale_max*r] after centering and
+    scale augmentation (the reference's PL configs scale up to 1.8x,
+    train_Vaihingen3D_PseudoLabel.py:168); +2 covers the floor offset of
+    the min-corner anchor. n_cells only bounds the linear sort-key range
+    (no per-cell allocation exists), so a generous bound is free.
     """
-    return int(math.ceil(2.5 * in_radius / dl)) + 2
+    return int(math.ceil(2.0 * max(scale_max, 1.0) * in_radius / dl)) + 2
 
 
 @partial(jax.jit, static_argnames=("max_out", "n_cells"))
