@@ -140,21 +140,9 @@ def build_bench_problem(geometry: str = "vaihingen",
 def _thin_payloads(payloads, plan, rng):
     """Crop sphere payloads to the plan's level-0 budget in place (the
     same thinning the potential sampler applies)."""
-    n0 = plan.num_points[0]
-    for p in payloads:
-        if p["points"].shape[0] <= n0:
-            continue
-        keep = np.sort(rng.choice(p["points"].shape[0], n0, replace=False))
-        remap = -np.ones(p["points"].shape[0], np.int64)
-        remap[keep] = np.arange(n0)
-        regions = []
-        for inds, lb in p["regions"]:
-            new = remap[inds]
-            new = new[new >= 0]
-            if new.size:
-                regions.append((new, lb))
-        p.update(points=p["points"][keep], features=p["features"][keep],
-                 labels=p["labels"][keep], regions=regions)
+    from weasal_tpu.data.demo import thin_payload
+    for i, p in enumerate(payloads):
+        payloads[i] = thin_payload(p, plan.num_points[0], rng)
 
 
 def wl_conv_plan(config):
@@ -385,24 +373,33 @@ def bench_torch_cpu_baseline(config, batch, steps=3):
 
     kp = config.num_kernel_points
     tensors = []
-    for (lvl, cin, cout, _edge) in wl_conv_plan(config):
-        n, k = levels[min(lvl, len(levels) - 1)]
+    for (lvl, cin, cout, edge) in wl_conv_plan(config):
+        ns, k = levels[min(lvl, len(levels) - 1)]
+        if edge == "pool":
+            # Strided conv: queries live at the POOLED level and use the
+            # pool neighbor width — same shapes as the real network (and
+            # as conv_flops' model); anything else inflates the baseline
+            nq = levels[min(lvl + 1, len(levels) - 1)][0]
+            k = int(batch.pools[lvl].shape[2])
+        else:
+            nq = ns
         neighb = torch.from_numpy(
-            rng.integers(0, n, size=(n, k)).astype(np.int64))
-        x = torch.randn(n, cin, requires_grad=True)
-        pts = torch.from_numpy(
-            rng.uniform(-1, 1, size=(n, 3)).astype(np.float32))
+            rng.integers(0, ns, size=(nq, k)).astype(np.int64))
+        x = torch.randn(ns, cin, requires_grad=True)
+        spts = torch.from_numpy(
+            rng.uniform(-1, 1, size=(ns, 3)).astype(np.float32))
+        qpts = spts[:nq]
         kpts = torch.from_numpy(
             rng.uniform(-0.3, 0.3, size=(kp, 3)).astype(np.float32))
         w = (torch.randn(kp, cin, cout) / np.sqrt(cin)).requires_grad_()
-        tensors.append((pts, neighb, x, kpts, w))
+        tensors.append((qpts, spts, neighb, x, kpts, w))
 
     extent = config.KP_extent * config.first_subsampling_dl
 
     def kpconv_chain():
         total = 0.0
-        for (pts, neighb, x, kpts, w) in tensors:
-            neighbors = pts[neighb] - pts.unsqueeze(1)        # [n,k,3]
+        for (qpts, spts, neighb, x, kpts, w) in tensors:
+            neighbors = spts[neighb] - qpts.unsqueeze(1)      # [nq,k,3]
             diff = neighbors.unsqueeze(2) - kpts              # [n,k,Kp,3]
             sq = (diff * diff).sum(3)
             infl = torch.clamp(1 - torch.sqrt(sq) / extent, min=0.0)
@@ -449,19 +446,22 @@ def main():
         try:
             with open(BASELINE_CACHE) as f:
                 cache = json.load(f)
-                baseline = cache.get("torch_cpu_points_per_sec_v2")
-                # Measured by scripts/run_reference_baseline.py: the
-                # reference's OWN pipeline (dataset+calibration+model+
-                # loss) on identical synthetic data, CPU
-                ref_baseline = cache.get(
-                    "reference_torch_cpu_points_per_sec")
         except Exception:
-            baseline = None
+            cache = {}
+    # v3: strided convs timed at pooled query counts / pool widths (v2
+    # overstated the baseline cost and inflated vs_baseline)
+    baseline = cache.get("torch_cpu_points_per_sec_v3")
+    # Measured by scripts/run_reference_baseline.py: the reference's OWN
+    # pipeline (dataset+calibration+model+loss) on identical synthetic
+    # data, CPU
+    ref_baseline = cache.get("reference_torch_cpu_points_per_sec")
     if baseline is None:
         baseline = bench_torch_cpu_baseline(config, batch)
-        cache["torch_cpu_points_per_sec_v2"] = baseline
-        with open(BASELINE_CACHE, "w") as f:
+        cache["torch_cpu_points_per_sec_v3"] = baseline
+        tmp = BASELINE_CACHE + ".tmp"
+        with open(tmp, "w") as f:       # atomic; keep the other keys
             json.dump(cache, f)
+        os.replace(tmp, BASELINE_CACHE)
 
     v = results["vaihingen"]
     d = results["dales"]

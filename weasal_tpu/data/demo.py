@@ -59,6 +59,27 @@ def demo_sphere(rng: np.random.Generator, config,
                 cloud_lb=cloud_lb, regions=regions)
 
 
+def thin_payload(p: dict, n0: int, rng) -> dict:
+    """Crop a sphere payload to the level-0 budget, remapping its
+    region member indices into the compacted point array (the same
+    thinning dataset.sample_sphere applies). Returns a new dict; no-op
+    when the sphere fits."""
+    if p["points"].shape[0] <= n0:
+        return p
+    keep = np.sort(rng.choice(p["points"].shape[0], n0, replace=False))
+    remap = -np.ones(p["points"].shape[0], np.int64)
+    remap[keep] = np.arange(n0)
+    regions = []
+    for inds, lb in p.get("regions") or []:
+        new = remap[np.asarray(inds, np.int64)]
+        new = new[new >= 0]
+        if new.size:
+            regions.append((new, lb))
+    return dict(p, points=p["points"][keep],
+                features=p["features"][keep],
+                labels=p["labels"][keep], regions=regions)
+
+
 def demo_batch(config, batch_size: Optional[int] = None, seed: int = 0,
                density: float = 20.0,
                plan: Optional[ShapePlan] = None):
@@ -77,21 +98,7 @@ def demo_batch(config, batch_size: Optional[int] = None, seed: int = 0,
 
     spheres = []
     for p in payloads:
-        n0 = plan.num_points[0]
-        if p["points"].shape[0] > n0:
-            keep = np.sort(rng.choice(p["points"].shape[0], n0,
-                                      replace=False))
-            remap = -np.ones(p["points"].shape[0], np.int64)
-            remap[keep] = np.arange(n0)
-            regions = []
-            for inds, lb in p["regions"]:
-                new = remap[inds]
-                new = new[new >= 0]
-                if new.size:
-                    regions.append((new, lb))
-            p = dict(p, points=p["points"][keep],
-                     features=p["features"][keep],
-                     labels=p["labels"][keep], regions=regions)
+        p = thin_payload(p, plan.num_points[0], rng)
         pyramid = build_sphere_pyramid(p["points"], config, rng=rng)
         spheres.append(dict(pyramid=pyramid, features=p["features"],
                             labels=p["labels"], center=p["center"],

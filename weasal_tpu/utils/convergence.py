@@ -57,10 +57,16 @@ def load_val_ious(log_dir: str) -> np.ndarray:
 
 
 def running_mean(x: np.ndarray, n: int) -> np.ndarray:
+    """Centered moving average with count-normalized edges (like the
+    reference's sig_sum/sig_num, plot_convergence.py:81-83 — plain
+    zero-padded convolution would deflate the first/last n plotted
+    values by up to ~2x)."""
     if n <= 1 or x.shape[0] < 2 * n:
         return x
-    kernel = np.ones(2 * n + 1) / (2 * n + 1)
-    return np.convolve(x, kernel, mode="same")
+    kernel = np.ones(2 * n + 1)
+    sums = np.convolve(x, kernel, mode="same")
+    counts = np.convolve(np.ones_like(x), kernel, mode="same")
+    return sums / counts
 
 
 def _log_label(log_dir: str, label: Optional[str]) -> str:

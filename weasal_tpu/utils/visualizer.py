@@ -103,20 +103,38 @@ class ModelVisualizer:
             return []
 
         import jax
+
+        from weasal_tpu.data.batching import layer_radii
+
+        config = self.model.config
+        conv_r, _, _ = layer_radii(config)
+        # extent-normalized -> world: kp was sown as (points+offsets)/
+        # kp_extent in the QUERY-LOCAL frame (models/blocks.py); undo the
+        # normalization and translate to the query position so the frames
+        # overlay the context cloud.
+        extents = [r * config.KP_extent / config.conv_radius
+                   for r in conv_r]
+
         frames = []
         leaves = jax.tree_util.tree_leaves_with_path(deform)
         kp_leaves = [(p, l) for p, l in leaves
                      if any("deformed_kp" in str(k) for k in p)]
         points0 = np.asarray(batch.points[0][sphere])
         mask0 = np.asarray(batch.masks[0][sphere])
+        level_sizes = [np.asarray(p).shape[1] for p in batch.points]
         for li, (path, leaf) in enumerate(kp_leaves):
             kp = np.asarray(leaf)[sphere]        # [Nq, Kp, 3] normalized
+            level = (level_sizes.index(kp.shape[0])
+                     if kp.shape[0] in level_sizes else 0)
+            q_pts = np.asarray(batch.points[level][sphere])
+            ext = extents[min(level, len(extents) - 1)]
             for qi in query_indices:
                 if qi >= kp.shape[0]:
                     continue
                 prefix = join(out_dir, f"block{li}_query{qi}")
+                world = kp[qi] * ext + q_pts[qi][None, :]
                 write_ply(prefix + "_kernels.ply",
-                          kp[qi].astype(np.float32), ["x", "y", "z"])
+                          world.astype(np.float32), ["x", "y", "z"])
                 frames.append(prefix + "_kernels.ply")
         # Context cloud for reference
         show_point_cloud(points0[mask0], out_prefix=join(out_dir, "input"))
