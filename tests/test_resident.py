@@ -172,6 +172,8 @@ def test_augmented_assemble_applies_params(setup):
                                   np.asarray(dev3["points0"]))
 
 
+@pytest.mark.skipif(not os.environ.get("WEASAL_DP_SUBTEST"),
+                    reason="run via test_resident_data_parallel_isolated")
 def test_resident_data_parallel(setup, tmp_path):
     """Resident clouds under SPMD data parallelism: resident arrays ride
     replicated, the small index batch shards on the sphere axis."""
@@ -195,6 +197,37 @@ def test_resident_data_parallel(setup, tmp_path):
     rows = open(log).readlines()[1:]
     assert len(rows) >= 1
     assert all(np.isfinite(float(r.split()[2])) for r in rows)
+
+
+def test_resident_data_parallel_isolated():
+    """Run the DP test in a fresh subprocess, retrying once on SIGABRT.
+
+    XLA:CPU's in-process collectives can deadlock a 4-device rendezvous
+    when this 1-core host is oversubscribed (observed: 3/4 participant
+    threads joined, the 4th never arrived within the raised 600 s
+    timeout, CHECK abort) — late in a long pytest session under external
+    load, never in isolation. Subprocess isolation keeps the abort from
+    killing the whole suite and a single retry rides out the flake; a
+    real regression still fails (non-abort exits are not retried).
+    """
+    import subprocess
+    import sys
+    env = {**os.environ, "WEASAL_DP_SUBTEST": "1"}
+    last = None
+    for _attempt in range(2):
+        last = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             "tests/test_resident.py::test_resident_data_parallel"],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=1200)
+        if last.returncode == 0:
+            return
+        if last.returncode not in (134, -6):
+            break                      # real failure: don't retry
+    raise AssertionError(
+        f"isolated DP test failed rc={last.returncode}\n"
+        f"{last.stdout[-1500:]}\n{last.stderr[-1500:]}")
 
 
 def test_resident_training_and_validation(setup):
