@@ -277,3 +277,24 @@ class TestERFSplit:
         np.testing.assert_array_equal(p1["center"], p2["center"])
         np.testing.assert_array_equal(p1["input_inds"], p2["input_inds"])
         assert p1["labels"] is None and p1["cloud_lb"] is None
+
+
+def test_composed_scene_districts():
+    """Multi-district tiles: distinct styles, contiguous layout, all classes
+    present per district (VERDICT r2 #2)."""
+    from weasal_tpu.data.synthetic import composed_scene, district_style
+    rng = np.random.default_rng(3)
+    pts, inten, lbl = composed_scene(rng, districts=4, extent=40.0,
+                                     density=6.0)
+    assert pts.shape[0] == inten.shape[0] == lbl.shape[0]
+    assert pts[:, 0].max() > 40.0 and pts[:, 1].max() > 40.0  # 2x2 grid
+    for d in range(4):
+        col = np.clip((pts[:, 0] // 40).astype(int), 0, 1)
+        row = np.clip((pts[:, 1] // 40).astype(int), 0, 1)
+        m = (col + 2 * row) == d
+        assert m.sum() > 1000
+        assert np.unique(lbl[m]).size == 9
+    # styles are actually distinct draws
+    s1 = district_style(np.random.default_rng(1))
+    s2 = district_style(np.random.default_rng(2))
+    assert s1["building_area"] != s2["building_area"]
