@@ -60,7 +60,8 @@ PEAK_FLOPS_BF16 = 197e12        # TPU v5e (v5 lite) MXU peak, bf16
 
 
 def build_bench_problem(geometry: str = "vaihingen",
-                        band_samples: int = 6):
+                        band_samples: int = 6,
+                        compute_dtype: str = "bfloat16"):
     """Reference-scale config + demo batch for a bench geometry."""
     from weasal_tpu.config import Config
 
@@ -95,6 +96,7 @@ def build_bench_problem(geometry: str = "vaihingen",
         pallas_band = int(os.environ.get("WEASAL_BENCH_BAND", "0"))
 
     config = BenchConfig()
+    config.compute_dtype = compute_dtype
     density = 7.0
     if geometry == "dales":
         # DALES: 16 m spheres, 0.4 m voxels, denser ALS returns, 2-sphere
@@ -437,6 +439,17 @@ def main():
             r["kpconv_hbm_util"] = round(gbps * 1e9 / PEAK_HBM_BYTES, 3)
         results[geometry] = r
 
+    # f32 line next to the bf16 headline: the quality runs train with
+    # compute_dtype=float32 (this platform executes f32 matmuls at bf16
+    # granularity, and the Pallas conv feeds the MXU bf16 regardless, but
+    # the configs should both be measured — VERDICT r2 #9)
+    config, batch, plan = build_bench_problem("vaihingen",
+                                              compute_dtype="float32")
+    rf = bench_fused_step(config, plan, density=7.0)
+    rf["mfu"] = round(conv_flops(config, batch)
+                      / (rf["step_time_ms"] / 1e3) / PEAK_FLOPS_BF16, 4)
+    results["vaihingen_f32"] = rf
+
     # torch-CPU baseline comparison point: bands are irrelevant there
     config, batch, _ = build_bench_problem("vaihingen", band_samples=0)
     baseline = None
@@ -483,6 +496,12 @@ def main():
             "kpconv_hbm_gbps": d.get("kpconv_hbm_gbps"),
             "kpconv_hbm_util": d.get("kpconv_hbm_util"),
             "real_points": d["real_points"],
+        },
+        "f32": {
+            "value": round(results["vaihingen_f32"]["points_per_sec"], 1),
+            "step_time_ms": round(
+                results["vaihingen_f32"]["step_time_ms"], 2),
+            "mfu": results["vaihingen_f32"]["mfu"],
         },
         "vs_reference_cpu": (round(v["points_per_sec"] / ref_baseline, 1)
                              if ref_baseline else None),

@@ -46,6 +46,17 @@ mkdir -p "$SHADOW"
 ln -s "$REF"/* "$SHADOW"/ 2>/dev/null || true
 ln -sfn "$BUILD/cpp_wrappers" "$SHADOW/cpp_wrappers"
 
+# The reference's flat packages (datasets/, models/, utils/, kernels/) are
+# namespace packages; site-packages ships a regular `datasets` (HuggingFace)
+# which always wins over namespace portions. Materialize them as regular
+# packages: real dir + per-file symlinks + empty __init__.py.
+for pkg in datasets models utils kernels; do
+    rm -f "$SHADOW/$pkg"
+    mkdir -p "$SHADOW/$pkg"
+    ln -s "$REF/$pkg"/* "$SHADOW/$pkg"/
+    touch "$SHADOW/$pkg/__init__.py"
+done
+
 $PY - <<EOF
 import sys
 sys.path.insert(0, "$SHADOW")

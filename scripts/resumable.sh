@@ -15,8 +15,9 @@ STAGE_DIR=$1; shift
 MAX_RETRIES=${MAX_RETRIES:-12}
 
 try=0
+RESUME_ARGS=()
 while :; do
-    "$@"
+    "$@" ${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"}
     rc=$?
     if [ $rc -ne 86 ]; then
         exit $rc
@@ -32,5 +33,5 @@ while :; do
         continue
     fi
     echo "resumable.sh: stalled (attempt $try); resuming from $LATEST" >&2
-    set -- "$@" --resume "$LATEST"
+    RESUME_ARGS=(--resume "$LATEST")   # replace, don't accumulate
 done

@@ -22,8 +22,18 @@ Prereq (one-time): compile the reference's cpp_wrappers OUT OF TREE
         && ln -sfn /tmp/refbuild/cpp_wrappers /tmp/refshadow/cpp_wrappers
 
 Usage:
+    # timing probe (12 steps, cached into .bench_baseline.json)
     python scripts/run_reference_baseline.py --data_root <dir with
         Vaihingen3D_{Training,Testing}.ply> [--steps 12] [--workers 4]
+
+    # quality-trajectory run (VERDICT r2 #1): the reference's OWN
+    # ModelTrainer at a scaled budget, with its own per-epoch validation —
+    # writes training_iteration0.txt / val_IoUs.txt under --saving_path in
+    # the reference's log format (plot with plot_convergence / compared by
+    # scripts/compare_quality.py)
+    python scripts/run_reference_baseline.py --data_root <root> \
+        --train_epochs 3 --epoch_steps 200 --validation_size 50 \
+        --saving_path /tmp/refrun/results/WeakLabel/Log_comparison
 """
 
 import argparse
@@ -46,6 +56,17 @@ def main():
     ap.add_argument("--workdir", default="/tmp/refrun")
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   ".bench_baseline.json"))
+    ap.add_argument("--train_epochs", type=int, default=0,
+                    help="run the reference ModelTrainer for N epochs "
+                         "instead of the timing probe")
+    ap.add_argument("--epoch_steps", type=int, default=200)
+    ap.add_argument("--validation_size", type=int, default=50)
+    ap.add_argument("--saving_path", default=None,
+                    help="results dir for the training run (reference log "
+                         "format)")
+    ap.add_argument("--initial_labels", type=int, default=None,
+                    help="override initial_labels_per_file (small smoke "
+                         "roots have fewer anchors than the default 600)")
     args = ap.parse_args()
 
     # Reference code runs cwd-relative: stage data under the workdir
@@ -80,6 +101,21 @@ def main():
     config.saving = False
     config.epoch_steps = args.steps
     config.max_epoch = 1
+    if args.initial_labels is not None:
+        config.initial_labels_per_file = args.initial_labels
+    if args.train_epochs:
+        # Reference quirk: with saving=True the PID kill-file is removed at
+        # the START of epoch max_epoch-1 and every step checks it
+        # (trainer_WeakLabel.py:171-173,187-188), so the final configured
+        # epoch trains zero steps (validation/checkpoint only). Configure
+        # +1 so exactly `train_epochs` epochs actually train.
+        config.max_epoch = args.train_epochs + 1
+        config.epoch_steps = args.epoch_steps
+        config.validation_size = args.validation_size
+        if args.saving_path:
+            config.saving = True
+            config.saving_path = args.saving_path
+            os.makedirs(args.saving_path, exist_ok=True)
 
     t0 = time.time()
     training_dataset = Vaihingen3DWLDataset(
@@ -93,6 +129,31 @@ def main():
     training_sampler.calibration(training_loader, verbose=True)
     t_prep = time.time() - t0
     print(f"reference data prep + calibration: {t_prep:.1f}s")
+
+    if args.train_epochs:
+        from utils.trainer_WeakLabel import ModelTrainer  # noqa
+
+        validation_dataset = Vaihingen3DWLDataset(
+            config, set="validation", use_potentials=True)
+        validation_sampler = Vaihingen3DWLSampler(validation_dataset)
+        validation_loader = DataLoader(validation_dataset, batch_size=1,
+                                       sampler=validation_sampler,
+                                       collate_fn=Vaihingen3DWLCollate,
+                                       num_workers=args.workers,
+                                       pin_memory=False)
+        validation_sampler.calibration(validation_loader, verbose=True)
+
+        net = KPFCNN_mprm(config, training_dataset.label_values,
+                          training_dataset.ignored_labels)
+        trainer = ModelTrainer(net, config, chkp_path=None)
+        t1 = time.time()
+        trainer.train(net, training_loader, validation_loader, config,
+                      al_iteration=0)
+        t_train = time.time() - t1
+        print(f"reference training run: {config.max_epoch} epochs x "
+              f"{config.epoch_steps} steps in {t_train / 3600:.2f} h "
+              f"(logs under {config.saving_path})")
+        return
 
     net = KPFCNN_mprm(config, training_dataset.label_values,
                       training_dataset.ignored_labels)

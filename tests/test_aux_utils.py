@@ -146,3 +146,35 @@ class TestStallWatchdog:
         wd = StallWatchdog(timeout_s=0)
         assert wd._thread is None
         wd.beat(); wd.stop()
+
+
+def test_conf_matrix_create_asymmetric_matches_reference():
+    """create() with distinct gt/pred label sets reproduces the reference's
+    unbalanced matrix (reference utils/conf_matrix.py:17-84)."""
+    import sys
+    from weasal_tpu.utils.conf_matrix import create
+
+    rng = np.random.default_rng(0)
+    labels_gt = [0, 1, 2, 5, 10]
+    labels_pr = [0, 1, 2, 5]
+    gt = rng.choice(labels_gt, 500)
+    pred = rng.choice(labels_pr, 500)
+
+    ours = create(gt, pred, labels_gt, labels_pr)
+    assert ours.shape == (5, 4)
+    assert ours.sum() == 500
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.conf_matrix import create as ref_create
+        theirs = ref_create(gt.copy(), pred.copy(), labels_gt, labels_pr)
+    finally:
+        sys.path.remove("/root/reference")
+        for m in [k for k in sys.modules
+                  if k == "utils" or k.startswith("utils.")]:
+            del sys.modules[m]
+    np.testing.assert_array_equal(ours, theirs)
+
+    # symmetric path unchanged
+    sym = create(gt, gt, labels_gt)
+    assert sym.shape == (5, 5) and np.trace(sym) == 500

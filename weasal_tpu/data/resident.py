@@ -72,6 +72,12 @@ class ResidentClouds:
         nmax = max(c.shape[0] for c in clouds)
         n_clouds = len(clouds)
         S = n_clouds * nmax + 1                 # +1 trailing shadow row
+        # pack_payloads writes base[cloud]+inds into int32 flat_inds; numpy
+        # would wrap silently past 2^31 (ADVICE r2)
+        if S >= 2 ** 31:
+            raise ValueError(
+                f"resident flat cloud too large for int32 indexing: "
+                f"{n_clouds} clouds x {nmax} max points = {S} rows")
         pts = np.zeros((S, 3), np.float32)
         labels = np.full(S, -1, np.int32)
         has_colors = any(c is not None for c in dataset.input_colors)
@@ -170,7 +176,6 @@ def pack_payloads(payloads, plan: ShapePlan, config, rng,
     # Grid rotations for voxel de-aliasing — same draw (and same rng
     # stream position) as level0.assemble_level0
     rotations = grid_rotations(rng, B)
-    noise_seed = rng.integers(0, 2 ** 31, size=B).astype(np.uint32)
 
     for b, p in enumerate(payloads):
         inds = p["input_inds"]
@@ -185,6 +190,11 @@ def pack_payloads(payloads, plan: ShapePlan, config, rng,
         fill_region_row(region_inds[b], region_point_masks[b],
                         region_masks[b], region_lb[b],
                         p.get("regions"), k, rng)
+
+    # Drawn AFTER the shared grid_rotations/fill_region_row draws so the
+    # rng stream position stays in lockstep with assemble_level0 (region
+    # subsampling uses identical draws on both paths — ADVICE r2).
+    noise_seed = rng.integers(0, 2 ** 31, size=B).astype(np.uint32)
 
     return dict(flat_inds=flat_inds, center_pts=centers,
                 cloud_lb=cloud_lb, rotations=rotations,

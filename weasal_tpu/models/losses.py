@@ -163,7 +163,8 @@ def contrast_loss(logits: jnp.ndarray,
                   threshold: float,
                   slc_con: int = 1000,
                   temperature: float = 0.1,
-                  base_temperature: float = 1.0) -> jnp.ndarray:
+                  base_temperature: float = 1.0,
+                  slc_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Supervised contrastive loss on pseudo labels
     (reference models/architectures.py:405-504).
 
@@ -184,12 +185,18 @@ def contrast_loss(logits: jnp.ndarray,
     pseudo_lbs = jnp.where(label_id, labels, pseudo_lbs)
 
     # Sample slc_con indices among certain points (with replacement, matching
-    # the reference's randint-based fallback behavior)
-    p = certain.astype(jnp.float32)
-    any_valid = jnp.sum(p) > 0
-    p = jnp.where(any_valid, p, valid_mask.astype(jnp.float32))
-    p = p / jnp.maximum(jnp.sum(p), 1e-9)
-    slc_idx = jax.random.choice(rng, n, shape=(slc_con,), replace=True, p=p)
+    # the reference's randint-based fallback behavior). A precomputed
+    # `slc_idx` bypasses the draw (deterministic replay for parity tests).
+    any_valid = jnp.sum(certain.astype(jnp.float32)) > 0
+    if slc_idx is None:
+        p = certain.astype(jnp.float32)
+        p = jnp.where(any_valid, p, valid_mask.astype(jnp.float32))
+        p = p / jnp.maximum(jnp.sum(p), 1e-9)
+        slc_idx = jax.random.choice(rng, n, shape=(slc_con,), replace=True,
+                                    p=p)
+    else:
+        slc_idx = jnp.asarray(slc_idx)
+        slc_con = slc_idx.shape[0]
 
     # Masks [N, slc_con]
     mask_slice = (jnp.arange(n)[:, None] != slc_idx[None, :]).astype(

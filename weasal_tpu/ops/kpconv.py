@@ -209,7 +209,8 @@ def kpconv(q_pts: jnp.ndarray,
     def mxu(a):
         return a.astype(jnp.bfloat16) if use_bf16 else a
 
-    acc_dtype = jnp.float32 if use_bf16 or x.dtype != jnp.float64         else jnp.float64
+    acc_dtype = (jnp.float32 if use_bf16 or x.dtype != jnp.float64
+                 else jnp.float64)
     weighted = jnp.einsum("bqpk,bqkc->bqpc",
                           mxu(all_weights), mxu(neighb_x),
                           preferred_element_type=acc_dtype)

@@ -329,6 +329,14 @@ def measure_bands(level0_batches, config, plan: ShapePlan,
     L = len(np_l)
     dl0 = float(config.first_subsampling_dl)
     in_r = float(config.in_radius)
+    # Calibration and consumption must share one coverage rule (the stated
+    # goal of ops/pallas/common.py): use the same scale_max the runtime
+    # banded search uses (build_pyramid_device:192), both for the
+    # ground-truth pyramid geometry and the level-0 key margin — PL's 1.8x
+    # anisotropic scale augmentation otherwise measures against a narrower
+    # key window than the runtime searches (ADVICE r2).
+    scale_max = max(
+        1.25, float(getattr(config, "augment_scale_max", 1.0) or 1.0))
     s_needs = {"conv": [0] * L, "pool": [0] * (L - 1), "up": [0] * (L - 1)}
     k_needs = {"conv": [0] * L, "pool": [0] * (L - 1)}
 
@@ -341,6 +349,7 @@ def measure_bands(level0_batches, config, plan: ShapePlan,
             dl0, tuple(float(r) for r in conv_r),
             tuple(float(r) for r in pool_r),
             tuple(float(r) for r in up_r), in_r,
+            scale_max=scale_max,
             banded=False)
         pts = [np.asarray(p) for p in pts]
         msks = [np.asarray(m) for m in msks]
@@ -351,8 +360,11 @@ def measure_bands(level0_batches, config, plan: ShapePlan,
             keys = [p[:, :, 0] for p in pts]
 
         def margin_of(ls):
+            # identical to the runtime formula in _build_pyramid:133-138
             m = dl0 * (2 ** ls)
-            return max(m, 2.5 * in_r / 256.0) if ls == 0 else m
+            if ls == 0:
+                m = max(m, 2.0 * max(scale_max, 1.1) * in_r / 256.0)
+            return m
 
         edges = ([("conv", l, l, l, conv_r[l], neighbors[l])
                   for l in range(L)]

@@ -18,11 +18,32 @@ from weasal_tpu.utils.metrics import fast_confusion
 
 
 def create(gt: np.ndarray, pred: np.ndarray,
-           label_values: Optional[Sequence[int]] = None) -> np.ndarray:
-    """Confusion matrix (rows = ground truth)."""
+           label_values: Optional[Sequence[int]] = None,
+           pred_label_values: Optional[Sequence[int]] = None) -> np.ndarray:
+    """Confusion matrix (rows = ground truth).
+
+    With `pred_label_values`, builds the reference's asymmetric/unbalanced
+    matrix (reference utils/conf_matrix.py:17-84): rows indexed by
+    `label_values` (gt classes), columns by `pred_label_values` — possibly
+    rectangular.
+    """
     if label_values is None:
         label_values = np.unique(np.hstack((gt, pred)))
-    return fast_confusion(gt, pred, np.asarray(label_values))
+    if pred_label_values is None:
+        return fast_confusion(gt, pred, np.asarray(label_values))
+
+    def continuous(data, labels):
+        labels = np.asarray(labels, np.int64)
+        table = np.full(labels.max() + 1, -1, np.int64)
+        table[labels] = np.arange(labels.size)
+        return table[np.asarray(data, np.int64)], labels.size
+
+    g, n_gt = continuous(gt, label_values)
+    p, n_pr = continuous(pred, pred_label_values)
+    valid = (g >= 0) & (p >= 0)
+    flat = np.bincount(g[valid] * n_pr + p[valid],
+                       minlength=n_gt * n_pr)
+    return flat.reshape(n_gt, n_pr)
 
 
 def analyze(confusion: np.ndarray) -> Dict[str, np.ndarray]:

@@ -315,6 +315,9 @@ def install_reference_shims() -> None:
 
     if not torch.cuda.is_available():
         torch.Tensor.cuda = lambda self, *a, **k: self
+        # trainer_WeakLabel.py:220-221 calls these unconditionally per step
+        torch.cuda.empty_cache = lambda: None
+        torch.cuda.synchronize = lambda *a, **k: None
 
     # torch>=2 removed Sampler.__init__(data_source); the reference's
     # samplers (torch-1.4 era) still call it (Vaihingen3D_WeakLabel.py:887)
