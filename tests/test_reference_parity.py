@@ -311,3 +311,122 @@ class TestKPFCNNParity:
         got_loss = float(losses.softmax_cross_entropy(
             ours, jnp.asarray(targets)))
         np.testing.assert_allclose(got_loss, float(ref_loss), rtol=1e-4)
+
+
+class TestContrastLossParity:
+    """contrast_loss vs the reference's own implementation
+    (architectures.py:405-504), with the randint draw replayed so both
+    sides score the identical slice (VERDICT r2 #7)."""
+
+    def test_contrast_loss_matches(self, reference_models):
+        import types
+        ref_arch, _ = reference_models
+        cfg = ParityPLConfig()
+        cfg.contrast_thd = 50          # threshold 0.5
+        C, N, SLC = cfg.num_classes, 1500, 1000
+
+        rng = np.random.default_rng(21)
+        logits = rng.normal(0.0, 3.0, size=(N, C)).astype(np.float32)
+        # Keep every row's max-prob decisively away from the threshold so
+        # the certain-sets agree bit-for-bit on both sides
+        for _ in range(40):
+            prob = np.exp(logits - logits.max(1, keepdims=True))
+            prob /= prob.sum(1, keepdims=True)
+            border = np.abs(prob.max(1) - 0.5) < 0.05
+            if not border.any():
+                break
+            logits[border] *= 1.13
+        assert not np.any(np.abs(prob.max(1) - 0.5) < 0.02)
+
+        labels = np.where(rng.random(N) < 0.3,
+                          rng.integers(0, C, N), 10).astype(np.int64)
+
+        # Replay the reference's sampling (architectures.py:448-457):
+        # recover slc_idx from the same seeded randint draw
+        certain = (prob.max(1) > 0.5) | (labels < 10)
+        all_valid_idx = np.where(certain)[0]
+        num_valid = all_valid_idx.shape[0]
+        assert num_valid >= SLC, "exercise the plain randint branch"
+        torch.manual_seed(123)
+        slc_idx = all_valid_idx[torch.randint(0, num_valid, (SLC,)).numpy()]
+
+        torch.manual_seed(123)
+        dummy = types.SimpleNamespace()
+        ref_loss = ref_arch.KPFCNN.contrast_loss(
+            dummy, torch.from_numpy(logits), torch.from_numpy(labels), cfg)
+
+        got = losses.contrast_loss(
+            jnp.asarray(logits), jnp.asarray(labels),
+            jnp.ones(N, bool), jax.random.PRNGKey(0),
+            num_classes=C, threshold=0.5, slc_con=SLC,
+            slc_idx=jnp.asarray(slc_idx))
+        np.testing.assert_allclose(float(got), float(ref_loss), rtol=2e-4)
+
+
+class DeformParityConfig(ParityPLConfig):
+    architecture = ["simple", "resnetb", "resnetb_strided",
+                    "resnetb_deformable", "resnetb_deformable_strided",
+                    "resnetb_deformable",
+                    "nearest_upsample", "unary", "nearest_upsample", "unary"]
+    deform_radius = 5.0
+    deform_fitting_power = 1.0
+    repulse_extent = 1.2
+    dropout = 0
+
+
+class TestDeformableParity:
+    """Deformable KPConv forward + p2p_fitting_regularizer vs the
+    reference's own torch code (architectures.py:24-57) with transplanted
+    weights (VERDICT r2 #7)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, reference_models):
+        ref_arch, tmp = reference_models
+        cfg = DeformParityConfig()
+        batch, _ = make_batch(cfg, b=2, seed=17, with_regions=False)
+
+        old_cwd = os.getcwd()
+        os.chdir(tmp)
+        try:
+            torch.manual_seed(6)
+            net = ref_arch.KPFCNN(cfg, list(range(cfg.num_classes)), [])
+        finally:
+            os.chdir(old_cwd)
+        net.eval()
+        _randomize(net, seed=3)
+        # Keep predicted offsets small enough that both implementations
+        # agree on which neighbors are in deformed range
+        with torch.no_grad():
+            for name, p in net.named_parameters():
+                if "offset" in name:
+                    p.mul_(0.05)
+
+        model = KPFCNN(cfg, tuple(range(cfg.num_classes)), ())
+        template = jit_init(model, jax.random.PRNGKey(0), batch)
+        variables = _flax_variables_from_torch(net, template)
+
+        ref_batch = dense_batch_to_reference(batch)
+        with torch.no_grad():
+            ref_logits = net(ref_batch, cfg)
+
+        ours, mutated = jax.jit(
+            lambda v, b: model.apply(v, b, train=False,
+                                     mutable=["deform"]))(variables, batch)
+        return cfg, batch, net, ref_logits, ours, mutated, ref_arch
+
+    def test_deformable_forward_matches(self, setup):
+        cfg, batch, net, ref_logits, ours, _, _ = setup
+        lengths = np.asarray(batch.lengths[0])
+        got = _stack_real(np.asarray(ours), lengths)
+        np.testing.assert_allclose(got, ref_logits.numpy(),
+                                   rtol=5e-3, atol=5e-4)
+
+    def test_p2p_regularizer_matches(self, setup):
+        cfg, batch, net, ref_logits, ours, mutated, ref_arch = setup
+        with torch.no_grad():
+            ref_reg = ref_arch.p2p_fitting_regularizer(net)
+        got = float(losses.p2p_fitting_regularizer(
+            mutated["deform"], cfg.repulse_extent,
+            cfg.deform_fitting_power))
+        np.testing.assert_allclose(got, float(ref_reg),
+                                   rtol=2e-3, atol=1e-5)
