@@ -430,3 +430,95 @@ class TestDeformableParity:
             cfg.deform_fitting_power))
         np.testing.assert_allclose(got, float(ref_reg),
                                    rtol=2e-3, atol=1e-5)
+
+
+class TestTorchCheckpointExport:
+    """Our training state -> reference-format .tar -> the reference's own
+    STRICT restore (net.load_state_dict + optimizer.load_state_dict,
+    trainer_WeakLabel.py:100-112) -> logits match (VERDICT r2 #8)."""
+
+    def test_export_restores_in_reference_and_logits_match(
+            self, reference_models, tmp_path):
+        from weasal_tpu.utils.torch_interop import save_torch_checkpoint
+        ref_arch, ref_tmp = reference_models
+        cfg = ParityWLConfig()
+        batch, _ = make_batch(cfg, b=2, seed=11, with_regions=True)
+
+        model = KPFCNN_mprm(cfg, tuple(range(cfg.num_classes)), ())
+        variables = jit_init(model, jax.random.PRNGKey(42), batch)
+        ours = _jit_eval(model, variables, batch)
+
+        path = str(tmp_path / "exported_chkp.tar")
+        save_torch_checkpoint(
+            path, jax.device_get(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats"),
+                 "constants": variables["constants"]}),
+            epoch=5, config=cfg, model_name="KPFCNN_mprm")
+
+        old_cwd = os.getcwd()
+        os.chdir(ref_tmp)
+        try:
+            torch.manual_seed(8)
+            net = ref_arch.KPFCNN_mprm(cfg, list(range(cfg.num_classes)), [])
+        finally:
+            os.chdir(old_cwd)
+
+        # The reference's restore, verbatim (strict load_state_dict +
+        # two-group SGD optimizer state)
+        checkpoint = torch.load(path, weights_only=False)
+        net.load_state_dict(checkpoint["model_state_dict"])
+        deform_params = [v for k, v in net.named_parameters()
+                         if "offset" in k]
+        other_params = [v for k, v in net.named_parameters()
+                        if "offset" not in k]
+        optimizer = torch.optim.SGD(
+            [{"params": other_params},
+             {"params": deform_params,
+              "lr": cfg.learning_rate * cfg.deform_lr_factor}],
+            lr=cfg.learning_rate, momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay)
+        optimizer.load_state_dict(checkpoint["optimizer_state_dict"])
+        assert checkpoint["epoch"] == 5
+
+        net.eval()
+        ref_batch = dense_batch_to_reference(batch)
+        with torch.no_grad():
+            ref_x, _, _ = net(ref_batch, cfg)
+        lengths = np.asarray(batch.lengths[0])
+        np.testing.assert_allclose(
+            _stack_real(np.asarray(ours[0]), lengths), ref_x.numpy(),
+            rtol=2e-3, atol=2e-4)
+
+    def test_export_strict_load_with_batch_norm_and_class_weights(
+            self, reference_models, tmp_path):
+        """BN=True nets add running stats + num_batches_tracked; class_w
+        adds criterion/criterion_multi weight buffers — the strict key set
+        must still match exactly."""
+        from tests.test_models import TinyWLConfig
+        from weasal_tpu.utils.torch_interop import save_torch_checkpoint
+        ref_arch, ref_tmp = reference_models
+        cfg = TinyWLConfig()
+        cfg.class_w = [1.0] * cfg.num_classes
+        batch, _ = make_batch(cfg, b=2, seed=11, with_regions=True)
+
+        model = KPFCNN_mprm(cfg, tuple(range(cfg.num_classes)), ())
+        variables = jit_init(model, jax.random.PRNGKey(1), batch)
+        path = str(tmp_path / "exported_bn_chkp.tar")
+        save_torch_checkpoint(
+            path, jax.device_get(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats"),
+                 "constants": variables["constants"]}),
+            config=cfg, class_weights=cfg.class_w,
+            model_name="KPFCNN_mprm")
+
+        old_cwd = os.getcwd()
+        os.chdir(ref_tmp)
+        try:
+            torch.manual_seed(9)
+            net = ref_arch.KPFCNN_mprm(cfg, list(range(cfg.num_classes)), [])
+        finally:
+            os.chdir(old_cwd)
+        checkpoint = torch.load(path, weights_only=False)
+        net.load_state_dict(checkpoint["model_state_dict"])  # strict

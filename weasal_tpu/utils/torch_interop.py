@@ -193,6 +193,82 @@ def flax_to_torch_state(params: Dict, batch_stats: Dict,
     return out
 
 
+def save_torch_checkpoint(path: str,
+                          model_state: Dict[str, Dict],
+                          epoch: int = 0,
+                          saving_path: Optional[str] = None,
+                          config=None,
+                          class_weights=None,
+                          model_name: str = "KPFCNN_mprm") -> None:
+    """Write a reference-format torch ``.tar`` checkpoint that the
+    reference's own restore consumes *strictly*
+    (utils/trainer_WeakLabel.py:100-112: ``net.load_state_dict`` with
+    strict=True plus ``optimizer.load_state_dict``).
+
+    :param model_state: ``{'params':…, 'batch_stats':…, 'constants':…}``
+        (this framework's checkpoint payload ``model_state_dict``).
+    :param config: optional; fills the synthesized SGD param-group
+        hyperparameters (lr/momentum/weight_decay/deform_lr_factor).
+    :param class_weights: the reference registers ``criterion.weight``
+        (and ``criterion_multi.weight`` for the mprm nets) buffers when
+        built with class weights (architectures.py:315,637-638) — pass the
+        same weights so the strict load finds them.
+    """
+    import torch
+
+    state = flax_to_torch_state(model_state.get("params") or {},
+                                model_state.get("batch_stats") or {},
+                                model_state.get("constants") or {})
+
+    # nn.BatchNorm1d state has a num_batches_tracked buffer next to the
+    # running stats (skipped on import; required for the strict export)
+    for key in list(state.keys()):
+        if key.endswith(".running_mean"):
+            state[key[:-len("running_mean")] + "num_batches_tracked"] = \
+                np.asarray(0, dtype=np.int64)
+    if class_weights is not None:
+        w = np.asarray(class_weights, np.float32)
+        state["criterion.weight"] = w
+        if "mprm" in model_name:
+            state["criterion_multi.weight"] = w
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in state.items()}
+
+    # Synthesize the two-group SGD state the reference trainer restores
+    # (trainer_WeakLabel.py:80-87): group 0 = non-offset parameters,
+    # group 1 = offset parameters at lr * deform_lr_factor. Parameter ids
+    # enumerate group 0 then group 1; momentum state starts empty (fresh
+    # momentum, like this framework's own torch-import path).
+    buffer_leaves = ("running_mean", "running_var", "num_batches_tracked")
+    param_keys = [k for k in state
+                  if not k.endswith(buffer_leaves)
+                  and not k.startswith(("criterion", "l1"))]
+    n_offset = sum("offset" in k for k in param_keys)
+    n_other = len(param_keys) - n_offset
+    lr = float(getattr(config, "learning_rate", 0.01) or 0.01)
+    hyper = dict(momentum=float(getattr(config, "momentum", 0.98) or 0.98),
+                 dampening=0, nesterov=False, maximize=False,
+                 weight_decay=float(getattr(config, "weight_decay", 0.001)
+                                    or 0.0),
+                 foreach=None, differentiable=False, fused=None)
+    optimizer_state = {
+        "state": {},
+        "param_groups": [
+            dict(hyper, lr=lr, params=list(range(n_other))),
+            dict(hyper,
+                 lr=lr * float(getattr(config, "deform_lr_factor", 0.1)
+                               or 0.1),
+                 params=list(range(n_other, n_other + n_offset))),
+        ],
+    }
+
+    torch.save({"epoch": int(epoch),
+                "model_state_dict": sd,
+                "optimizer_state_dict": optimizer_state,
+                "saving_path": saving_path}, path)
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference torch checkpoint
     ``{epoch, model_state_dict, optimizer_state_dict, saving_path}``
