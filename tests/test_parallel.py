@@ -103,18 +103,25 @@ def test_entry_script_data_parallel(tmp_path):
             validation_split = 1
 
             def _test_split(self, test_on_train):
-                return [0, 1] if test_on_train else [2]
+                # like _DALESBase: test-on-train covers the TRAINING
+                # clouds only (the validation cloud has no anchor ledger)
+                return [0] if test_on_train else [2]
 
         run(DALESWLConfig, TinyDALESWL,
             argv=["results/WeakLabel/Log_dp", "--preset", "quick",
                   "--fused", "--devices", "4",
-                  "--al_iterations", "0", "--epoch_steps", "2",
+                  "--al_iterations", "1", "--epoch_steps", "2",
                   "--validation_size", "1", "--data_root", root])
         log = os.path.join("results/WeakLabel/Log_dp",
                            "training_iteration0.txt")
         with open(log) as f:
             lines = f.readlines()
         assert len(lines) > 1  # trained at least one sharded step
+        # al_iterations=1 ran one sharded AL voting acquisition between
+        # the two iterations (VERDICT r2 #6): the anchor ledger grew and
+        # the second iteration trained
+        assert os.path.exists(os.path.join("results/WeakLabel/Log_dp",
+                                           "training_iteration1.txt"))
         # batch_num was rounded up to a multiple of the mesh size
         with open(os.path.join("results/WeakLabel/Log_dp",
                                "parameters.txt")) as f:
@@ -127,3 +134,48 @@ def test_entry_script_data_parallel(tmp_path):
             assert "kernel_drops" in f.read()
     finally:
         os.chdir(cwd)
+
+
+def test_sharded_vote_accumulator_matches_unsharded():
+    """DeviceVoteAccumulator on a mesh: sphere-sharded probs smooth into
+    replicated full-cloud buffers identically to the single-device run."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from weasal_tpu.parallel.mesh import batch_sharding, make_mesh
+    from weasal_tpu.train.vote import DeviceVoteAccumulator
+
+    rng = np.random.default_rng(4)
+    S, C, B, n0 = 257, 5, 4, 64            # S includes the shadow row
+    res_points = rng.normal(size=(S, 3)).astype(np.float32) * 3.0
+    resident = SimpleNamespace(
+        arrays={"res_points": jnp.asarray(res_points)},
+        sizes=[128, 128], base=np.array([0, 128], np.int64))
+
+    probs = rng.random((B, n0, C)).astype(np.float32)
+    flat_inds = rng.integers(0, S - 1, size=(B, n0)).astype(np.int32)
+    flat_inds[:, -5:] = S - 1               # some shadow-padded slots
+    centers = rng.normal(size=(B, 3)).astype(np.float32)
+    d2 = rng.random((B, n0)).astype(np.float32) * 9.0
+    batch = {"flat_inds": jnp.asarray(flat_inds),
+             "center_pts": jnp.asarray(centers),
+             "res_points": resident.arrays["res_points"]}
+
+    acc1 = DeviceVoteAccumulator(resident, C, smooth=0.95, radius_sq=6.0)
+    acc1.update(jnp.asarray(probs), batch, d2=jnp.asarray(d2))
+    want = acc1.materialize()
+
+    mesh = make_mesh(4)
+    sh = batch_sharding(mesh)
+    sharded_batch = {k: jax.device_put(v, sh) for k, v in batch.items()
+                     if k != "res_points"}
+    sharded_batch["res_points"] = resident.arrays["res_points"]
+    acc2 = DeviceVoteAccumulator(resident, C, smooth=0.95, radius_sq=6.0,
+                                 mesh=mesh)
+    acc2.update(jax.device_put(jnp.asarray(probs), sh), sharded_batch,
+                d2=jax.device_put(jnp.asarray(d2), sh))
+    got = acc2.materialize()
+
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

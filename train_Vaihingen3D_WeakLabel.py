@@ -193,7 +193,8 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
             test_ds = dataset_cls(config, split="test", test_on_train=True,
                                   data_root=args.data_root)
             tester = ModelTester(config, test_ds, chosen_chkp)
-            tester.cloud_segmentation_test(test_ds, num_votes=10,
+            al_votes = 2 if args.preset == "quick" else 10
+            tester.cloud_segmentation_test(test_ds, num_votes=al_votes,
                                            active_learning=True,
                                            test_on_train=True,
                                            stage_dir=stage_dir)

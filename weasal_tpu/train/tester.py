@@ -44,6 +44,24 @@ class ModelTester:
         self.mode = mode or ("weak" if getattr(
             config, "model_name", "KPFCNN_mprm") == "KPFCNN_mprm"
             else "pseudo")
+        # Data-parallel voting (VERDICT r2 #6): same mesh recipe as the
+        # trainer — sphere axis sharded, state + resident clouds + vote
+        # buffers replicated. batch_num must divide across the mesh.
+        ndev = int(getattr(config, "data_parallel_devices", 0) or 0)
+        if ndev == -1:
+            ndev = len(jax.devices())
+        if ndev > 1 and config.batch_num % ndev:
+            new_bn = ((config.batch_num + ndev - 1) // ndev) * ndev
+            print(f"batch_num {config.batch_num} -> {new_bn} "
+                  f"(divisible by {ndev} data-parallel devices)")
+            config.batch_num = new_bn
+        if ndev > 1:
+            from weasal_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(ndev)
+            print(f"Data-parallel voting over {ndev} devices "
+                  f"({config.batch_num} spheres/batch)")
+        else:
+            self.mesh = None
         self.model = _model_for_config(config, dataset.label_values,
                                        dataset.ignored_labels)
         self.plan = dataset.calibration()
@@ -56,6 +74,9 @@ class ModelTester:
                                 batch_stats=ms["batch_stats"],
                                 constants=ms["constants"], opt_state=None)
         self.epoch = payload["epoch"]
+        if self.mesh is not None:
+            from weasal_tpu.parallel.mesh import replicate
+            self.state = replicate(self.state, self.mesh)
         print("Model and training state restored.")
 
         model, mmode, plan = self.model, self.mode, self.plan
@@ -168,7 +189,8 @@ class ModelTester:
             if self._resident_spec is not None:
                 from weasal_tpu.data.resident import ResidentBatchSource
                 from weasal_tpu.train.vote import DeviceVoteAccumulator
-                batch_source = ResidentBatchSource(dataset, self.plan)
+                batch_source = ResidentBatchSource(dataset, self.plan,
+                                                   mesh=self.mesh)
                 extra_arrays = batch_source.resident.arrays
                 r_sq = None
                 if 0 < test_radius_ratio < 1:
@@ -177,12 +199,17 @@ class ModelTester:
                 # fetched per batch, the loop is sampling-bound
                 vote_acc = DeviceVoteAccumulator(
                     batch_source.resident, nc_model, smooth=test_smooth,
-                    radius_sq=r_sq)
+                    radius_sq=r_sq, mesh=self.mesh)
             else:
                 from weasal_tpu.data.level0 import Level0BatchSource
                 batch_source = Level0BatchSource(dataset, self.plan)
         else:
             batch_source = dataset
+
+        sharding = None
+        if self.mesh is not None:
+            from weasal_tpu.parallel.mesh import batch_sharding
+            sharding = batch_sharding(self.mesh)
 
         try:
             while True:
@@ -191,7 +218,7 @@ class ModelTester:
                 # loaders run the same augmenting potential_item)
                 prefetcher = BatchPrefetcher(batch_source, self.plan,
                                              config.validation_size, rng=rng,
-                                             augment=True,
+                                             augment=True, sharding=sharding,
                                              extra_arrays=extra_arrays)
                 for i, (batch, metas) in enumerate(prefetcher):
                     probs_dev, d2_dev = self._eval_step(self.state, batch)

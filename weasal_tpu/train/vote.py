@@ -43,7 +43,7 @@ class DeviceVoteAccumulator:
     """
 
     def __init__(self, resident, num_classes: int, smooth: float = 0.95,
-                 radius_sq: Optional[float] = None):
+                 radius_sq: Optional[float] = None, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -51,7 +51,9 @@ class DeviceVoteAccumulator:
         self.num_classes = int(num_classes)
         S = int(resident.arrays["res_points"].shape[0])
         self._S = S
-        self._flat = jnp.zeros((S, self.num_classes), jnp.float32)
+        self._mesh = mesh
+        self._flat = self._place(jnp.zeros((S, self.num_classes),
+                                           jnp.float32))
 
         smooth = float(smooth)
         radius_sq = None if radius_sq is None else float(radius_sq)
@@ -86,6 +88,16 @@ class DeviceVoteAccumulator:
             return flat
 
         self._update = update
+
+    def _place(self, arr):
+        """Vote buffers ride replicated on a data-parallel mesh (the probs
+        arrive sphere-sharded; GSPMD gathers them into the sequential
+        smoothing scan)."""
+        if self._mesh is None:
+            return arr
+        import jax
+        from weasal_tpu.parallel.mesh import replicated
+        return jax.device_put(arr, replicated(self._mesh))
 
     def update(self, probs, batch, d2=None) -> None:
         """Smooth one eval batch's probs (input_inds order) into the
@@ -122,4 +134,4 @@ class DeviceVoteAccumulator:
         for i, arr in enumerate(per_cloud):
             lo = int(self.resident.base[i])
             flat[lo:lo + arr.shape[0]] = arr
-        self._flat = jnp.asarray(flat)
+        self._flat = self._place(jnp.asarray(flat))
