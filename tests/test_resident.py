@@ -350,3 +350,45 @@ def test_resident_voting_inference(setup, tmp_path, monkeypatch):
                                            "Vaihingen3D_Training.ply"))
     finally:
         cfg.saving_path = saved
+
+
+def test_packed_dispatch_matches_sequential(setup, tmp_path):
+    """steps_per_dispatch=K (one jitted lax.scan over K stacked index
+    batches, trainer._build_train_step_scan) trains bit-compatibly with K
+    sequential single-step dispatches: identical sampling (one producer
+    thread, same np rng), identical host-order dropout key splits, masked
+    tail padding. Guards the multi-step dispatch path's semantics."""
+    import copy
+
+    cfg0, _, wd = setup
+    root = os.path.join(wd, "Vaihingen3D")
+    results = {}
+    for K in (1, 3):
+        cfg = copy.deepcopy(cfg0)
+        cfg.steps_per_dispatch = K
+        cfg.max_epoch = 1
+        cfg.epoch_steps = 4          # K=3: one full pack + a padded tail
+        cfg.validation_size = 1
+        cfg.saving_path = str(tmp_path / f"log_k{K}")
+        # Fresh dataset per run: sphere sampling mutates potentials, so a
+        # shared dataset would feed the two runs different batches
+        ds = Vaihingen3DWLDataset(cfg, split="training", data_root=root,
+                                  rng=np.random.default_rng(0))
+        trainer = ModelTrainer(cfg, ds, stage_dir="WeakLabel")
+        trainer.train(ds, None, al_iteration=0)
+        rows = open(os.path.join(cfg.saving_path,
+                                 "training_iteration0.txt")).readlines()[1:]
+        results[K] = (jax.device_get(trainer.state.params), rows)
+
+    params1, rows1 = results[1]
+    params3, rows3 = results[3]
+    assert len(rows1) == len(rows3) and len(rows1) >= 3
+    for r1, r3 in zip(rows1, rows3):
+        # epoch step out_loss offset_loss train_accuracy time
+        np.testing.assert_allclose(
+            [float(v) for v in r1.split()[:5]],
+            [float(v) for v in r3.split()[:5]], atol=2e-3)
+    flat1 = jax.tree_util.tree_leaves(params1)
+    flat3 = jax.tree_util.tree_leaves(params3)
+    for a, b in zip(flat1, flat3):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

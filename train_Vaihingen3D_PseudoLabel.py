@@ -121,6 +121,9 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
     parser.add_argument("--devices", type=int, default=None,
                         help="data-parallel device count (sphere axis "
                              "sharded over a 1-D mesh; -1 = all devices)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=None,
+                        help="train steps packed into one jitted lax.scan "
+                             "dispatch (resident fused path; default auto)")
     args = parser.parse_args(argv)
 
     config = config_cls()
@@ -128,6 +131,8 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
         config.device_pyramid = True
     if args.devices is not None:
         config.data_parallel_devices = args.devices
+    if args.steps_per_dispatch is not None:
+        config.steps_per_dispatch = args.steps_per_dispatch
     if args.preset == "quick":
         config.in_radius = min(config.in_radius, 7.0)
         config.first_subsampling_dl = max(config.first_subsampling_dl, 0.45)

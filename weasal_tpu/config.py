@@ -143,6 +143,12 @@ class Config:
     # H2D traffic per step and far less host work. "auto" = on when the
     # backend is a real TPU and device_pyramid is set.
     resident_clouds = "auto"
+    # Multi-step dispatch: pack this many train steps' index batches into
+    # one jitted lax.scan call (weasal_tpu/train/trainer.py). Amortizes the
+    # per-dispatch latency of a remote-TPU backend over K steps; only the
+    # resident fused path ships payloads small enough for this to win.
+    # "auto" = 10 on a real TPU backend with resident clouds, 1 otherwise.
+    steps_per_dispatch = "auto"
     # Stall watchdog (weasal_tpu/utils/watchdog.py): hard-exit with code
     # 86 when a training/voting loop makes no progress for this many
     # seconds, so a wrapper can resume from the per-epoch checkpoint. The

@@ -34,7 +34,20 @@ class BatchPrefetcher:
                  num_spheres: Optional[int] = None,
                  to_device: bool = True,
                  sharding=None,
-                 extra_arrays: Optional[dict] = None):
+                 extra_arrays: Optional[dict] = None,
+                 pack: int = 1,
+                 keep_fn=None):
+        """`pack` > 1 stacks that many host batches into one [K, ...] dict
+        (single device_put, consumed by a lax.scan'd multi-step train
+        program — amortizes per-dispatch tunnel latency). Requires dict
+        batches (resident/level0 sources); `sharding` then must be the
+        packed layout (parallel.mesh.packed_batch_sharding). A short tail
+        pack is padded by repeating its last batch with `do_step=False`.
+
+        `keep_fn(metas) -> bool` drops batches before packing (the weak
+        trainer's no-region skip); dropped batches still consume the
+        `num_batches` quota, matching the unpacked loop's `continue`.
+        """
         self.dataset = dataset
         self.plan = plan
         self.num_batches = num_batches
@@ -47,35 +60,85 @@ class BatchPrefetcher:
         # AFTER the device_put (resident clouds — must not be re-put, and
         # must keep their replicated sharding under data parallelism)
         self.extra_arrays = extra_arrays
+        self.pack = max(int(pack), 1)
+        self.keep_fn = keep_fn
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._error = None
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
 
+    def _place(self, batch):
+        if self.to_device:
+            # Transfer in the producer thread so host->device copies
+            # overlap the consumer's device steps; with a sharding,
+            # the sphere axis lands directly on the mesh
+            import jax
+            if self.sharding is not None:
+                batch = jax.device_put(batch, self.sharding)
+            else:
+                batch = jax.device_put(batch)
+        if self.extra_arrays is not None and isinstance(batch, dict):
+            batch = {**batch, **self.extra_arrays}
+        return batch
+
+    def _emit_pack(self, buf, buf_metas):
+        """Stack K batch dicts -> one [K, ...] dict + `do_step` [K] mask
+        (False on tail-padding copies of the last batch)."""
+        n_real = len(buf)
+        while len(buf) < self.pack:
+            buf.append(buf[-1])
+        stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+        do_step = np.zeros(self.pack, bool)
+        do_step[:n_real] = True
+        if self.to_device:
+            import jax
+            if self.sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(self.sharding.mesh, PartitionSpec())
+                shardings = {k: self.sharding for k in stacked}
+                shardings["do_step"] = rep
+                stacked["do_step"] = do_step
+                stacked = jax.device_put(stacked, shardings)
+            else:
+                stacked["do_step"] = do_step
+                stacked = jax.device_put(stacked)
+        else:
+            stacked["do_step"] = do_step
+        if self.extra_arrays is not None:
+            stacked = {**stacked, **self.extra_arrays}
+        return stacked, buf_metas
+
     def _produce(self):
         try:
+            buf, buf_metas = [], []
             for _ in range(self.num_batches):
                 batch, metas = self.dataset.next_batch(
                     self.rng, self.plan, num_spheres=self.num_spheres,
                     augment=self.augment)
-                if self.to_device:
-                    # Transfer in the producer thread so host->device copies
-                    # overlap the consumer's device steps; with a sharding,
-                    # the sphere axis lands directly on the mesh
-                    import jax
-                    if self.sharding is not None:
-                        batch = jax.device_put(batch, self.sharding)
-                    else:
-                        batch = jax.device_put(batch)
-                if self.extra_arrays is not None and isinstance(batch, dict):
-                    batch = {**batch, **self.extra_arrays}
-                self._queue.put((batch, metas))
+                if self.keep_fn is not None and not self.keep_fn(metas):
+                    continue
+                if self.pack <= 1:
+                    self._queue.put((self._place(batch), metas))
+                    continue
+                if not isinstance(batch, dict):
+                    raise TypeError(
+                        "pack > 1 requires dict batches "
+                        "(resident/level0 sources)")
+                buf.append(batch)
+                buf_metas.append(metas)
+                if len(buf) == self.pack:
+                    self._queue.put(self._emit_pack(buf, buf_metas))
+                    buf, buf_metas = [], []
+            if buf:
+                self._queue.put(self._emit_pack(buf, buf_metas))
         except BaseException as e:                     # surface in consumer
             self._error = e
         finally:
             self._queue.put(None)
 
     def __iter__(self) -> Iterator:
+        # With keep_fn/pack the producer can legitimately emit fewer than
+        # num_batches items; the None sentinel terminates either way.
         produced = 0
         while produced < self.num_batches:
             item = self._queue.get()

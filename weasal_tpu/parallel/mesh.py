@@ -51,6 +51,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def packed_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for K-packed batches [K, B, ...]: the scan axis is
+    replicated, the sphere axis (axis 1) splits across the mesh — each
+    lax.scan slice then carries the same layout batch_sharding gives a
+    single step."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a PyramidBatch with its sphere axis split across the mesh."""
     sharding = batch_sharding(mesh)

@@ -238,9 +238,8 @@ class ModelTrainer:
         plan = self.plan
         spec = self._resident_spec
 
-        @partial(jax.jit, static_argnames=("use_contrast",))
-        def train_step(state: TrainState, batch, lr, dropout_rng,
-                       use_contrast: bool = False):
+        def step_core(state: TrainState, batch, lr, dropout_rng,
+                      use_contrast: bool = False):
             if device_pyramid:
                 if "flat_inds" in batch:
                     # Resident-cloud path: gather/augment/sort the spheres
@@ -337,7 +336,44 @@ class ModelTrainer:
                                       opt_state=new_opt)
             return new_state, out_loss, reg_loss, acc, drops
 
-        return train_step
+        self._step_core = step_core
+        return partial(jax.jit, static_argnames=("use_contrast",))(step_core)
+
+    def _build_train_step_scan(self):
+        """K packed steps per dispatch: one jitted lax.scan over a stacked
+        [K, ...] batch dict (VERDICT r2 #3 — through the remote tunnel each
+        dispatch costs ~40-50 ms of host latency; the resident path's index
+        payloads are small enough to ship K at a time and amortize it).
+
+        Semantics match K sequential _train_step calls exactly: the rng keys
+        arrive pre-split in host order, tail-padding slices carry
+        do_step=False and their state update / telemetry is masked out.
+        """
+        step_core = self._step_core
+
+        @partial(jax.jit, static_argnames=("use_contrast",))
+        def train_step_k(state: TrainState, packed, lr, rngs,
+                         use_contrast: bool = False):
+            invariant = {k: v for k, v in packed.items()
+                         if k.startswith("res_")}
+            xs = {k: v for k, v in packed.items()
+                  if not k.startswith("res_") and k != "do_step"}
+
+            def body(carry, sl):
+                x, rng, do = sl
+                new_state, out_loss, reg_loss, acc, drops = step_core(
+                    carry, {**x, **invariant}, lr, rng,
+                    use_contrast=use_contrast)
+                new_state = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(do, n, o), new_state, carry)
+                return new_state, (out_loss, reg_loss, acc,
+                                   jnp.where(do, drops, 0))
+
+            final, (losses_k, regs_k, accs_k, drops_k) = jax.lax.scan(
+                body, state, (xs, rngs, packed["do_step"]))
+            return final, losses_k, regs_k, accs_k, drops_k
+
+        return train_step_k
 
     def _build_eval_step(self):
         model, mode, config = self.model, self.mode, self.config
@@ -492,6 +528,29 @@ class ModelTrainer:
             from weasal_tpu.parallel.mesh import batch_sharding
             sharding = batch_sharding(self.mesh)
 
+        # Multi-step dispatch (VERDICT r2 #3): ship K index batches at once
+        # and lax.scan K optimizer steps inside ONE jitted call, amortizing
+        # the per-dispatch tunnel latency (~40-50 ms) and the log-flush
+        # round trips over K steps. Only worth it on the resident path,
+        # where a step's payload is ~0.3 MB of indices.
+        K = self._resolve_steps_per_dispatch()
+        keep_fn = None
+        if K > 1:
+            self._train_step_scan = getattr(
+                self, "_train_step_scan", None) or \
+                self._build_train_step_scan()
+            if self.mesh is not None:
+                from weasal_tpu.parallel.mesh import packed_batch_sharding
+                sharding = packed_batch_sharding(self.mesh)
+            if self.mode == "weak":
+                def keep_fn(metas):
+                    # No sub-region labels -> no loss signal: drop before
+                    # packing, same semantics as the unpacked `continue`
+                    # (reference trainer_WeakLabel.py:183-184)
+                    if metas and all("has_regions" in m for m in metas):
+                        return any(m["has_regions"] for m in metas)
+                    return True
+
         # Liveness: the tunnel can drop an in-flight RPC and wedge the
         # process in a fetch forever; the watchdog turns that into a
         # restartable exit-86 (resume from current_chkp.tar).
@@ -503,18 +562,21 @@ class ModelTrainer:
             t0 = time.time()
             last_display = time.time()
             pending = []
+            pending_steps = 0
             drops_pending = []
             while self.epoch < config.max_epoch:
                 self.step = 0
+                epoch_real_steps = 0
                 prefetcher = BatchPrefetcher(batch_source, self.plan,
                                              config.epoch_steps, rng=rng,
                                              sharding=sharding,
-                                             extra_arrays=extra_arrays)
+                                             extra_arrays=extra_arrays,
+                                             pack=K, keep_fn=keep_fn)
                 for batch, metas in prefetcher:
                     if config.saving and pid_file and not exists(pid_file):
                         prefetcher.close()
                         break
-                    if self.mode == "weak":
+                    if K == 1 and self.mode == "weak":
                         # No sub-region labels -> no loss signal (reference
                         # trainer_WeakLabel.py:183-184). Check host metas —
                         # np.asarray(batch.region_masks) would be a D2H fetch
@@ -533,31 +595,51 @@ class ModelTrainer:
                                             else batch.region_masks)
                             if not np.any(np.asarray(region_masks)):
                                 continue
-                    dropout_key, sub = jax.random.split(dropout_key)
                     use_contrast = (self.mode == "pseudo"
                                     and self.epoch >= getattr(
                                         config, "contrast_start", 1 << 30))
-                    (self.state, out_loss, reg_loss, acc,
-                     drops) = self._train_step(
-                        self.state, batch, jnp.float32(self.lr), sub,
-                        use_contrast=use_contrast)
+                    if K == 1:
+                        dropout_key, sub = jax.random.split(dropout_key)
+                        (self.state, out_loss, reg_loss, acc,
+                         drops) = self._train_step(
+                            self.state, batch, jnp.float32(self.lr), sub,
+                            use_contrast=use_contrast)
+                        n_real = 1
+                    else:
+                        # metas is a list of per-step metas lists here; rng
+                        # keys split in host order so the dropout stream is
+                        # bit-identical to K sequential steps
+                        n_real = len(metas)
+                        subs = []
+                        for _ in range(n_real):
+                            dropout_key, sub = jax.random.split(dropout_key)
+                            subs.append(sub)
+                        subs += [subs[-1]] * (K - n_real)
+                        (self.state, out_loss, reg_loss, acc,
+                         drops) = self._train_step_scan(
+                            self.state, batch, jnp.float32(self.lr),
+                            jnp.stack(subs), use_contrast=use_contrast)
                     drops_pending.append(drops)
+                    epoch_real_steps += n_real
 
                     # Buffer device scalars; synchronous per-step reads would
                     # serialize the async dispatch queue (very costly through a
                     # remote-dispatch backend)
                     pending.append((self.epoch, self.step, out_loss, reg_loss,
-                                    acc, time.time() - t0))
-                    self.step += 1
-                    if len(pending) >= 20 or \
+                                    acc, time.time() - t0, n_real))
+                    pending_steps += n_real
+                    self.step += n_real
+                    if pending_steps >= 20 or \
                             time.time() - last_display > 2.0:
                         last_display = time.time()
                         self._flush_log(pending, log_file, al_iteration)
                         pending = []
+                        pending_steps = 0
                         self._watchdog.beat()   # a flush returned = progress
 
                 self._flush_log(pending, log_file, al_iteration)
                 pending = []
+                pending_steps = 0
 
                 if config.saving and pid_file and not exists(pid_file):
                     break
@@ -568,7 +650,7 @@ class ModelTrainer:
 
                 # Shape-plan saturation audit: silent caps (level/neighbor/
                 # region truncation) become visible in the training log
-                n_drop_steps = len(drops_pending)
+                n_drop_steps = max(epoch_real_steps, len(drops_pending))
                 epoch_drops = float(np.sum([np.asarray(d)
                                             for d in drops_pending])) \
                     if drops_pending else 0.0
@@ -675,22 +757,50 @@ class ModelTrainer:
         return ("epochs steps out_loss offset_loss train_accuracy time "
                 f"\tground truth labels: {gt_count}\n")
 
+    def _resolve_steps_per_dispatch(self) -> int:
+        """Config knob `steps_per_dispatch`: int, or "auto" = 10 when the
+        resident fused path runs on a real TPU backend (the remote-dispatch
+        case where per-call latency dominates); 1 otherwise. Packing needs
+        dict batches, so non-device-pyramid sources always run unpacked."""
+        val = getattr(self.config, "steps_per_dispatch", "auto")
+        if isinstance(val, str):
+            if jax.default_backend() == "tpu" and \
+                    self._resident_spec is not None:
+                k = 10
+            else:
+                return 1
+        else:
+            k = max(int(val), 1)
+        if k > 1 and not getattr(self.config, "device_pyramid", False):
+            print("steps_per_dispatch > 1 requires the fused device-pyramid "
+                  "path; running unpacked")
+            return 1
+        return k
+
     def _flush_log(self, pending, log_file, al_iteration):
-        """Materialize buffered device scalars in one transfer and log."""
+        """Materialize buffered device scalars in one transfer and log.
+        Entries carry 0-d scalars (unpacked) or [K] vectors with n_real
+        valid leading rows (packed multi-step dispatch)."""
         if not pending:
             return
         scalars = jax.device_get([(p[2], p[3], p[4]) for p in pending])
+        rows = []
+        for (epoch, step, _, _, _, wall, n), (ls, rg, ac) in zip(
+                pending, scalars):
+            ls, rg, ac = (np.atleast_1d(ls), np.atleast_1d(rg),
+                          np.atleast_1d(ac))
+            for i in range(n):
+                rows.append((epoch, step + i, float(ls[i]), float(rg[i]),
+                             float(ac[i]), wall))
         if self.config.saving and log_file:
             with open(log_file, "a") as f:
-                for (epoch, step, _, _, _, wall), (ls, rg, ac) in zip(
-                        pending, scalars):
-                    f.write(f"{epoch:d} {step:d} {float(ls):.3f} "
-                            f"{float(rg):.3f} {float(ac):.3f} "
+                for epoch, step, ls, rg, ac, wall in rows:
+                    f.write(f"{epoch:d} {step:d} {ls:.3f} "
+                            f"{rg:.3f} {ac:.3f} "
                             f"{wall:.3f}\n")
-        epoch, step, _, _, _, _ = pending[-1]
-        ls, rg, ac = scalars[-1]
-        print(f"e{epoch:03d}-i{step:04d} => L={float(ls):.3f} "
-              f"acc={100 * float(ac):3.0f}% "
+        epoch, step, ls, rg, ac, _ = rows[-1]
+        print(f"e{epoch:03d}-i{step:04d} => L={ls:.3f} "
+              f"acc={100 * ac:3.0f}% "
               f"| al_iteration={al_iteration}")
 
     # ------------------------------------------------------------------
