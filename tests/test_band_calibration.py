@@ -131,7 +131,8 @@ def test_measured_bands_schema_and_exactness():
         banded = build_pyramid_device(
             jnp.asarray(pts0), jnp.asarray(m0), cfg_banded, plan,
             rotations=jnp.asarray(rot))
-        assert float(banded[5]) == 0.0, "search overflow under measured band"
+        assert float(jnp.sum(banded[5])) == 0.0, \
+            "search overflow under measured band"
         # Neighbor SETS must agree except for exact distance ties at the
         # K-truncation boundary (per-axis VPU vs XLA matmul distances can
         # break ties differently — semantics verified in
@@ -144,6 +145,69 @@ def test_measured_bands_schema_and_exactness():
             assert agree > 0.9999, agree
         for a, b in zip(exact[4], banded[4]):      # upsamples (1-NN)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ----------------------------------------------------------------------
+# Per-edge drop attribution (self-tuning bands, VERDICT r2 #10)
+# ----------------------------------------------------------------------
+
+def test_drop_vector_layout_matches_band_slots():
+    """The concatenated drop vector's labels line up with (a) the KPConv
+    band_slot rule in models/blocks (_make_kpconv: conv at layer_ind,
+    strided/pool at num_layers + layer_ind) and (b) the search-overflow
+    slot rule in ops/pyramid.search_slot."""
+    from weasal_tpu.ops.pyramid import drop_vector_layout, search_slot
+    L = 3
+    layout = drop_vector_layout(L)
+    assert len(layout) == 5 * L - 3
+    n_kp = 2 * L - 1
+    for l in range(L):
+        assert layout[l] == ("kpconv", "conv", l)
+    for l in range(L - 1):
+        assert layout[L + l] == ("kpconv", "pool", l)
+    for edge, n in (("conv", L), ("pool", L - 1), ("up", L - 1)):
+        for l in range(n):
+            assert layout[n_kp + search_slot(edge, l, L)] == \
+                ("search", edge, l)
+
+
+def test_search_overflow_attributed_to_undersized_edge():
+    """Shrinking ONE edge's window below its raw measured need makes the
+    banded pyramid count overflow in exactly that edge's slot of the
+    per-edge vector — the attribution the trainer's self-tuning widen
+    relies on."""
+    import pytest
+    from weasal_tpu.ops.pallas.common import QUANTUM
+    from weasal_tpu.ops.pyramid import search_slot
+
+    cfg = TinyConfig()
+    plan = _tiny_plan()
+    batches = _level0_batches(cfg, plan)
+    needs = measure_bands(batches, cfg, plan, headroom_fn=lambda n: n)
+    plan.bands = {kind: {e: [_band_from_need(n) for n in row]
+                         for e, row in d.items()}
+                  for kind, d in needs.items()}
+    # Level-0 conv search has the largest key-range window here; cut its
+    # band so kernel coverage ((W/q + 1) blocks) misses the raw need
+    need = needs["search"]["conv"][0]
+    w = max(QUANTUM, (need // QUANTUM - 3) * QUANTUM)
+    if (w // QUANTUM + 1) * QUANTUM >= need:
+        pytest.skip(f"geometry too small to undersize (need {need})")
+    plan.bands["search"]["conv"][0] = w
+
+    cfgb = TinyConfig()
+    cfgb.use_pallas_search = True
+    cfgb.pallas_interpret = True
+    L = plan.num_layers
+    slot = search_slot("conv", 0, L)
+    total = np.zeros(3 * L - 2)
+    for pts0, m0, rot in batches:
+        out = build_pyramid_device(jnp.asarray(pts0), jnp.asarray(m0),
+                                   cfgb, plan, rotations=jnp.asarray(rot))
+        total += np.asarray(out[5])
+    assert total[slot] > 0, "undersized edge must count overflow"
+    assert np.all(np.delete(total, slot) == 0), \
+        "overflow must not leak into other edges' slots"
 
 
 def test_plan_bands_json_roundtrip(tmp_path):

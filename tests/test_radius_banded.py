@@ -177,7 +177,8 @@ class TestBandedDevicePyramid:
         Cfg.use_pallas_search = True
         got = build_pyramid_device(jnp.asarray(pts), jnp.asarray(mask),
                                    Cfg, plan)
-        assert float(got[5]) == 0.0, "window overflow on sorted input"
+        assert float(jnp.sum(got[5])) == 0.0, \
+            "window overflow on sorted input"
         for kind in (2, 3, 4):            # neighbors, pools, upsamples
             for lref, lgot in zip(ref[kind], got[kind]):
                 a, b = np.asarray(lref), np.asarray(lgot)

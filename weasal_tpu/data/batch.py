@@ -58,10 +58,12 @@ class PyramidBatch:
     region_point_masks: Optional[jnp.ndarray] = None  # [B, R, P] bool
     region_lb: Optional[jnp.ndarray] = None      # [B, R, C] float32 multi-hot
 
-    # Telemetry: total banded-search window-overflow rows for this batch
-    # (0 = the device pyramid's neighbor lists are exact; see
-    # ops/pallas/radius_pallas.py). None when the XLA search ran.
-    search_overflow: Optional[jnp.ndarray] = None  # [] float32
+    # Telemetry: per-edge banded-search window-overflow counts for this
+    # batch (all-zero = the device pyramid's neighbor lists are exact; see
+    # ops/pallas/radius_pallas.py). Slot layout = ops/pyramid.search_slot;
+    # the trainer widens the matching ShapePlan band when an edge's tail
+    # grows. None when built by the host pyramid.
+    search_overflow: Optional[jnp.ndarray] = None  # [3L-2] float32
 
     @property
     def num_layers(self) -> int:

@@ -644,6 +644,30 @@ class CloudSegmentationDataset:
     # neighborhood_limits, Vaihingen3D_WeakLabel.py:1036-1342)
     # ------------------------------------------------------------------
 
+    def _plan_key(self) -> str:
+        """Shape-plan cache key. Sampling mode is part of it: random-center
+        (PL use_potentials=False) spheres sit on class-balanced points and
+        have different size/neighbor distributions than potential-grid
+        centers, so the percentile budgets must not be shared."""
+        cfg = self.config
+        mode = "potentials" if self.use_potentials else "random"
+        return "{}_{:.3f}_{:.3f}_{:d}_{:d}".format(
+            mode, cfg.in_radius, cfg.first_subsampling_dl, cfg.batch_num,
+            cfg.num_layers)
+
+    def save_plan(self, plan: ShapePlan) -> None:
+        """Persist (an updated) plan under this config's cache key — used
+        by the trainer's self-tuning band widening so restarts and the
+        tester consume the widened windows."""
+        plan_file = join(self.path, "shape_plans.json")
+        plans = {}
+        if exists(plan_file):
+            with open(plan_file) as f:
+                plans = json.load(f)
+        plans[self._plan_key()] = json.loads(json.dumps(plan.__dict__))
+        with open(plan_file, "w") as f:
+            json.dump(plans, f, indent=2)
+
     def calibration(self, num_samples: int = 40, force_redo: bool = False,
                     untouched_ratio: float = 0.9,
                     verbose: bool = False) -> ShapePlan:
@@ -653,14 +677,7 @@ class CloudSegmentationDataset:
         if exists(plan_file):
             with open(plan_file) as f:
                 plans = json.load(f)
-        # Sampling mode is part of the key: random-center (PL
-        # use_potentials=False) spheres sit on class-balanced points and
-        # have different size/neighbor distributions than potential-grid
-        # centers, so the percentile budgets must not be shared.
-        mode = "potentials" if self.use_potentials else "random"
-        key = "{}_{:.3f}_{:.3f}_{:d}_{:d}".format(
-            mode, cfg.in_radius, cfg.first_subsampling_dl, cfg.batch_num,
-            cfg.num_layers)
+        key = self._plan_key()
         if key in plans and not force_redo:
             plan = ShapePlan(**plans[key])
             if plan.bands is None and self._bands_wanted():
@@ -670,9 +687,7 @@ class CloudSegmentationDataset:
                 clouds, _, _ = self._sample_calibration_clouds(
                     min(num_samples, 24), rng)
                 plan.bands = self._measure_plan_bands(plan, clouds, rng)
-                plans[key] = json.loads(json.dumps(plan.__dict__))
-                with open(plan_file, "w") as f:
-                    json.dump(plans, f, indent=2)
+                self.save_plan(plan)
             return plan
 
         t0 = time.time()
@@ -690,9 +705,7 @@ class CloudSegmentationDataset:
                                     region_budget=r_budget, rng=rng)
         if self._bands_wanted():
             plan.bands = self._measure_plan_bands(plan, clouds, rng)
-        plans[key] = json.loads(json.dumps(plan.__dict__))
-        with open(plan_file, "w") as f:
-            json.dump(plans, f, indent=2)
+        self.save_plan(plan)
         if verbose:
             print(f"Calibrated shape plan in {time.time() - t0:.1f}s: "
                   f"{plan}")

@@ -158,6 +158,8 @@ class KPConv(nn.Module):
     pallas_band: int = 0             # 0 = auto from conv geometry
     in_radius: float = 0.0           # sphere radius (m) for auto banding
     sort_margin: float = 0.0         # level voxel size (m), sort slack
+    band_slot: int = -1              # this conv's slot in the per-edge
+    band_slots: int = 0              # kpconv drop vector [2L-1]; 0 = scalar
 
     def _init_kernel_points(self):
         kp = load_kernels(self.radius, self.kernel_size, self.p_dim,
@@ -213,9 +215,21 @@ class KPConv(nn.Module):
             offsets=offsets, modulations=modulations, return_oob=True)
         if ops.pallas_eligible(params, x.shape[-1], self.out_channels):
             # Out-of-band neighbor drops (should be 0 with spatially
-            # sorted inputs); readable via mutable=['telemetry'].
-            self.sow("telemetry", "pallas_oob", jnp.sum(oob),
-                     init_fn=lambda: jnp.zeros((), jnp.float32),
+            # sorted inputs); readable via mutable=['telemetry']. With a
+            # band_slot the count lands in that slot of a per-edge vector
+            # so the trainer can widen exactly the undersized band
+            # (self-tuning, ops/pyramid.drop_vector_layout).
+            count = jnp.sum(oob)
+            if self.band_slots > 0 and self.band_slot >= 0:
+                slots = self.band_slots
+                value = jnp.zeros(slots, jnp.float32).at[
+                    self.band_slot].set(count)
+                init_fn = lambda: jnp.zeros(slots, jnp.float32)  # noqa: E731
+            else:
+                value = count
+                init_fn = lambda: jnp.zeros((), jnp.float32)     # noqa: E731
+            self.sow("telemetry", "pallas_oob", value,
+                     init_fn=init_fn,
                      reduce_fn=lambda a, b: a + b)
         if self.deformable:
             # Stash regularizer inputs (read via mutable 'deform'
@@ -296,6 +310,9 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
         pallas_band=band,
         in_radius=float(getattr(cfg, "in_radius", 0.0)),
         sort_margin=radius / cfg.conv_radius,
+        band_slot=(cfg.num_layers + layer_ind
+                   if "strided" in block_name else layer_ind),
+        band_slots=2 * cfg.num_layers - 1,
         name=name)
 
 

@@ -58,6 +58,29 @@ def _edge_band(bands, edge: str, l: int) -> int:
     return row[l] if l < len(row) else 0
 
 
+def search_slot(edge: str, l: int, L: int) -> int:
+    """Slot of (edge, level) in the [3L-2] search-overflow vector:
+    conv_0..conv_{L-1}, pool_0..pool_{L-2}, up_0..up_{L-2}."""
+    return {"conv": l, "pool": L + l, "up": 2 * L - 1 + l}[edge]
+
+
+def drop_vector_layout(L: int):
+    """(kind, edge, level) labels for the trainer's concatenated per-edge
+    drop vector [(2L-1) + (3L-2)]: KPConv oob slots first (matching
+    KPConv.band_slot in models/blocks), then the search-overflow slots
+    (matching _build_pyramid's vector / search_slot above). The per-edge
+    attribution is what makes the band windows self-tuning: when an
+    epoch's counted drops on one edge exceed the expected calibration
+    tail, the trainer widens exactly that edge's persisted band
+    (ShapePlan.bands) by one quantum instead of only warning."""
+    kp = ([("kpconv", "conv", l) for l in range(L)]
+          + [("kpconv", "pool", l) for l in range(L - 1)])
+    se = ([("search", "conv", l) for l in range(L)]
+          + [("search", "pool", l) for l in range(L - 1)]
+          + [("search", "up", l) for l in range(L - 1)])
+    return kp + se
+
+
 @partial(jax.jit, static_argnames=("num_points", "conv_neighbors",
                                    "pool_neighbors", "up_neighbors",
                                    "dl0", "conv_radii", "pool_radii",
@@ -108,7 +131,10 @@ def _build_pyramid(points0: jnp.ndarray,
         points.append(sub)
         masks.append(sub_mask)
 
-    overflow = jnp.zeros((), jnp.float32)
+    # Per-edge overflow vector (search_slot layout) so the trainer can
+    # attribute drops to the exact undersized band window; zeros on the
+    # XLA fallback path (exact search, nothing to overflow).
+    overflow = jnp.zeros((3 * L - 2,), jnp.float32)
     if banded:
         from weasal_tpu.ops.pallas.radius_pallas import (auto_band,
                                                          radius_search_banded)
@@ -145,7 +171,8 @@ def _build_pyramid(points0: jnp.ndarray,
                 points[lq], points[ls], masks[lq], masks[ls],
                 skeys[lq], skeys[ls], radius=float(r), max_count=int(k),
                 band=w, margin=float(margin), interpret=interpret)
-            overflow = overflow + jnp.sum(ovf)
+            overflow = overflow.at[search_slot(edge, l, L)].add(
+                jnp.sum(ovf))
             return idx
     else:
         def search(edge, l, lq, ls, r, k):
@@ -180,8 +207,9 @@ def build_pyramid_device(points0: jnp.ndarray,
     :param mask0: [B, N_0] validity
     :param rotations: optional [B, 3, 3] per-sphere grid rotations
     :return: (points, masks, neighbors, pools, upsamples, overflow) —
-        per-level tuples plus the scalar count of banded-search window
-        overflows (0 on the XLA fallback path)
+        per-level tuples plus the [3L-2] per-edge vector of banded-search
+        window overflow counts (search_slot layout; zeros on the XLA
+        fallback path)
     """
     np_, cn, pn, un = _plan_tuple(plan)
     # The voxel-extent bound must cover scale augmentation (the
