@@ -1,0 +1,76 @@
+#!/bin/bash
+# Mid-budget two-stage chain on MULTI-DISTRICT synthetic data (VERDICT r2
+# #2): WL train -> probability vote dump -> pseudo-label refinement -> PL
+# train -> PL eval, at ~1/3 of the reference budgets. Round 2's full-budget
+# run on a single-style tile overfit (val mIoU peak 50.0% at epoch 7 ->
+# 29.6% at epoch 80); this rerun uses a structurally diverse 8-district
+# training tile so the val trajectory measures training health, not
+# memorization.
+#
+# Usage: scripts/run_midbudget_chain.sh [workdir]   (default full_run/mid)
+# -e + pipefail: `run ... | tee` puts run() in a pipeline subshell, so its
+# internal exit only kills the subshell — the -e on the pipeline's status
+# is what actually stops the chain.
+set -eu -o pipefail
+PY=${PY:-/opt/venv/bin/python}
+WD=${1:-full_run/mid}
+ROOT="$WD/root/Vaihingen3D"
+WL_EPOCHS=${WL_EPOCHS:-30}
+WL_STEPS=${WL_STEPS:-600}
+PL_EPOCHS=${PL_EPOCHS:-50}
+PL_STEPS=${PL_STEPS:-200}
+mkdir -p "$WD"
+
+if [ ! -f "$ROOT/Vaihingen3D_Training.ply" ]; then
+    $PY - <<EOF
+from weasal_tpu.data.synthetic import make_vaihingen_like_root
+make_vaihingen_like_root("$ROOT", extent=160.0, density=8.0, seed=42,
+                         districts=8)
+print("root ready")
+EOF
+fi
+
+# NOTE: each stage runs inside a pipeline (tee); pipefail + explicit rc
+# checks keep a mid-chain failure from silently feeding the next stage.
+run() {
+    echo "=== $* ==="
+    "$@"
+    rc=$?
+    if [ $rc -ne 0 ]; then
+        echo "chain: stage failed (rc=$rc): $*" >&2
+        exit $rc
+    fi
+}
+
+# Stage 1: weak-label training (mid budget), stall-resumable
+run scripts/resumable.sh results/WeakLabel \
+    $PY train_Vaihingen3D_WeakLabel.py --fused \
+    --data_root "$ROOT" --max_epoch "$WL_EPOCHS" --epoch_steps "$WL_STEPS" \
+    --validation_size 50 --al_iterations 0 \
+    2>&1 | tee "$WD/wl.log"
+
+# Stage 2: 20-vote probability dump on the training tile
+run scripts/resumable.sh results/WeakLabel \
+    $PY test_models.py --log last_Vaihingen3DWL --on train --num_votes 20 \
+    --data_root "$ROOT" --fused 2>&1 | tee "$WD/vote.log"
+
+# Stage 3: pseudo-label refinement (threshold 20%, reference default).
+# Refinement and PL training take the literal Log_ name, not the alias.
+WL_LOG=$(ls -d results/WeakLabel/Log_* 2>/dev/null | sort | tail -1)
+WL_LOG=$(basename "$WL_LOG")
+run $PY pseudoLabel_refinement.py --weak_label_log "$WL_LOG" \
+    --data_root "$ROOT" 2>&1 | tee "$WD/refine.log"
+
+# Stage 4: pseudo-label training (mid budget)
+run scripts/resumable.sh results/PseudoLabel \
+    $PY train_Vaihingen3D_PseudoLabel.py --fused \
+    --data_root "$ROOT" --weak_label_log "$WL_LOG" \
+    --max_epoch "$PL_EPOCHS" --epoch_steps "$PL_STEPS" \
+    --validation_size 50 2>&1 | tee "$WD/pl.log"
+
+# Stage 5: PL eval — 20-vote validation inference (reference protocol)
+run scripts/resumable.sh results/PseudoLabel \
+    $PY test_models.py --log last_Vaihingen3DPL --on validation --num_votes 20 \
+    --data_root "$ROOT" --fused 2>&1 | tee "$WD/eval.log"
+
+echo "chain complete: logs under $WD"
