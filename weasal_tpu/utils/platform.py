@@ -15,6 +15,7 @@ def apply_platform_env() -> None:
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    enable_persistent_compile_cache()
     if platform == "cpu":
         # XLA:CPU in-process collectives CHECK-fail (process abort) when
         # the per-device executor threads starve past 40 s on a loaded
@@ -27,6 +28,25 @@ def apply_platform_env() -> None:
                 " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
                 " --xla_cpu_collective_call_terminate_timeout_seconds=600"
             ).strip()
+
+
+def enable_persistent_compile_cache() -> None:
+    """Point jax at a persistent on-disk compilation cache (shared across
+    processes and working directories). TPU compiles cost 20-40 s per
+    program through this platform's tunnel and a multi-stage training
+    chain re-launches python per stage (plus stall resumes) — the cache
+    turns every recompile of an unchanged program into a disk read.
+    WEASAL_COMPILE_CACHE overrides the location; "off" disables."""
+    loc = os.environ.get("WEASAL_COMPILE_CACHE", "")
+    if loc.lower() == "off":
+        return
+    if not loc:
+        loc = os.path.join(os.path.expanduser("~"), ".cache",
+                           "weasal_jax_cache")
+    os.makedirs(loc, exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", loc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def resolve_pallas_flag(value, auto_requires: bool = True) -> bool:
