@@ -178,3 +178,30 @@ def test_conf_matrix_create_asymmetric_matches_reference():
     # symmetric path unchanged
     sym = create(gt, gt, labels_gt)
     assert sym.shape == (5, 5) and np.trace(sym) == 500
+
+
+def test_al_override_keeps_label_budget():
+    """--al_iterations 0 must not silently grant the full anchor set.
+
+    Regression: the entry scripts used to set subsample_labels =
+    (al_iterations > 0), so a no-AL quality run trained on ~40x the
+    600-label budget — an invalid comparison vs the reference
+    (reference train_Vaihingen3D_WeakLabel.py:180 ties subsampling to the
+    config class, not the acquisition count).
+    """
+    from train_Vaihingen3D_WeakLabel import (Vaihingen3DWLConfig,
+                                             apply_al_override)
+
+    config = Vaihingen3DWLConfig()
+    assert config.subsample_labels          # class default: budgeted labels
+    apply_al_override(config, 0)
+    assert config.subsample_labels
+    assert config.active_learning_iterations == 0
+    apply_al_override(config, 2)
+    assert config.subsample_labels
+    assert config.active_learning_iterations == 2
+
+    # full-supervision configs keep their explicit False under AL=0
+    config.subsample_labels = False
+    apply_al_override(config, 0)
+    assert not config.subsample_labels

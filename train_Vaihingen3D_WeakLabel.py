@@ -94,6 +94,21 @@ class Vaihingen3DWLConfig(Config):
     saving_path = None
 
 
+def apply_al_override(config, al_iterations: int):
+    """--al_iterations only controls how many acquisition loops run.
+
+    It must NOT flip label subsampling off: --al_iterations 0 with the
+    class default subsample_labels=True still trains on the
+    initial_labels_per_file budget (600/file), not the full anchor set
+    (~40x more labels on a reference-scale tile). The reference trains on
+    all anchors only when the config class itself sets
+    subsample_labels=False (reference train_Vaihingen3D_WeakLabel.py:180).
+    """
+    config.active_learning_iterations = al_iterations
+    if al_iterations > 0:
+        config.subsample_labels = True
+
+
 def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("saving_path", nargs="?", default=None)
@@ -161,8 +176,7 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
         if getattr(args, key) is not None:
             setattr(config, key, getattr(args, key))
     if args.al_iterations is not None:
-        config.active_learning_iterations = args.al_iterations
-        config.subsample_labels = args.al_iterations > 0
+        apply_al_override(config, args.al_iterations)
 
     schedule = None
     if args.epoch_schedule:
