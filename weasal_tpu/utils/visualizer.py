@@ -46,8 +46,11 @@ def _scatter_png(path: str, points: np.ndarray,
 def show_point_cloud(points: np.ndarray,
                      labels: Optional[np.ndarray] = None,
                      out_prefix: str = "cloud",
-                     interactive: bool = False):
-    """Write <prefix>.ply (+ labels) and <prefix>.png preview."""
+                     interactive: bool = False,
+                     html: bool = True):
+    """Write <prefix>.ply (+ labels), <prefix>.png preview, and — the
+    interactive equivalent of the reference's mayavi window — a standalone
+    <prefix>.html WebGL viewer (orbit/zoom/pan, keyboard controls)."""
     fields = [points.astype(np.float32)]
     names = ["x", "y", "z"]
     if labels is not None:
@@ -55,6 +58,12 @@ def show_point_cloud(points: np.ndarray,
         names.append("class")
     write_ply(out_prefix + ".ply", fields, names)
     _scatter_png(out_prefix + ".png", points, labels, title=out_prefix)
+    if html:
+        from weasal_tpu.utils.html_viewer import export_html
+        export_html(out_prefix + ".html",
+                    layers=[(os.path.basename(out_prefix), points,
+                             labels, 1.5)],
+                    title=os.path.basename(out_prefix))
     if interactive:                                 # pragma: no cover
         try:
             from mayavi import mlab
@@ -68,14 +77,23 @@ def show_point_cloud(points: np.ndarray,
 
 
 def show_batch(batch, out_dir: str = "debug_batch", sphere: int = 0):
-    """Dump every pyramid level of one sphere as ply + png."""
+    """Dump every pyramid level of one sphere as ply + png, plus one
+    interactive HTML where arrow keys step through the levels (the
+    reference's mayavi batch viewer behavior, utils/mayavi_visu.py)."""
     os.makedirs(out_dir, exist_ok=True)
     outputs = []
+    frames = []
     for l in range(batch.num_layers):
         pts = np.asarray(batch.points[l][sphere])
         mask = np.asarray(batch.masks[l][sphere])
         prefix = join(out_dir, f"sphere{sphere}_level{l}")
-        outputs.append(show_point_cloud(pts[mask], out_prefix=prefix))
+        outputs.append(show_point_cloud(pts[mask], out_prefix=prefix,
+                                        html=False))
+        frames.append((f"level {l}", pts[mask], None, 1.5))
+    from weasal_tpu.utils.html_viewer import export_html
+    outputs.append(export_html(join(out_dir, f"sphere{sphere}_levels.html"),
+                               frames=frames,
+                               title=f"sphere {sphere} pyramid levels"))
     return outputs
 
 
@@ -122,12 +140,15 @@ class ModelVisualizer:
         points0 = np.asarray(batch.points[0][sphere])
         mask0 = np.asarray(batch.masks[0][sphere])
         level_sizes = [np.asarray(p).shape[1] for p in batch.points]
+        from weasal_tpu.utils.html_viewer import export_html
+
         for li, (path, leaf) in enumerate(kp_leaves):
             kp = np.asarray(leaf)[sphere]        # [Nq, Kp, 3] normalized
             level = (level_sizes.index(kp.shape[0])
                      if kp.shape[0] in level_sizes else 0)
             q_pts = np.asarray(batch.points[level][sphere])
             ext = extents[min(level, len(extents) - 1)]
+            html_frames = []
             for qi in query_indices:
                 if qi >= kp.shape[0]:
                     continue
@@ -136,6 +157,22 @@ class ModelVisualizer:
                 write_ply(prefix + "_kernels.ply",
                           world.astype(np.float32), ["x", "y", "z"])
                 frames.append(prefix + "_kernels.ply")
+                # one frame per picked query — g/h steps between queries,
+                # the interactive analogue of the reference's point picker
+                # (utils/visualizer.py:206-229)
+                rgb = np.tile(np.array([[214, 39, 40]], np.uint8),
+                              (world.shape[0], 1))
+                html_frames.append((f"query {qi} deformed kernel",
+                                    world.astype(np.float32), rgb, 8.0))
+            if html_frames:
+                grey = np.tile(np.array([[150, 150, 150]], np.uint8),
+                               (int(mask0.sum()), 1))
+                export_html(join(out_dir, f"block{li}_kernels.html"),
+                            layers=[("input cloud", points0[mask0],
+                                     grey, 1.2)],
+                            frames=html_frames,
+                            title=f"deformable kernels, block {li}")
+                frames.append(join(out_dir, f"block{li}_kernels.html"))
         # Context cloud for reference
         show_point_cloud(points0[mask0], out_prefix=join(out_dir, "input"))
         return frames
