@@ -67,6 +67,18 @@ def main():
     ap.add_argument("--initial_labels", type=int, default=None,
                     help="override initial_labels_per_file (small smoke "
                          "roots have fewer anchors than the default 600)")
+    ap.add_argument("--resume_chkp", default=None,
+                    help="reference current_chkp.tar to restore (model + "
+                         "optimizer + epoch); trains only the epochs "
+                         "remaining up to --train_epochs. Use a FRESH "
+                         "--saving_path: the reference trainer truncates "
+                         "training_iteration0.txt on start "
+                         "(trainer_WeakLabel.py:137-144); merge the two "
+                         "dirs' logs afterwards.")
+    ap.add_argument("--val_first", action="store_true",
+                    help="with --resume_chkp: run one validation pass on "
+                         "the restored weights before training (recovers a "
+                         "val_IoUs row lost when a run died mid-validation)")
     args = ap.parse_args()
 
     # Reference code runs cwd-relative: stage data under the workdir
@@ -145,7 +157,21 @@ def main():
 
         net = KPFCNN_mprm(config, training_dataset.label_values,
                           training_dataset.ignored_labels)
-        trainer = ModelTrainer(net, config, chkp_path=None)
+        trainer = ModelTrainer(net, config, chkp_path=args.resume_chkp)
+        if args.resume_chkp:
+            # The restored self.epoch counts epochs already trained, and the
+            # reference loop breaks at `self.epoch == config.max_epoch`
+            # (trainer_WeakLabel.py:296-297), so max_epoch = the TOTAL
+            # target trains exactly the remainder. The fresh-run `+1` quirk
+            # doesn't apply: the kill file is removed at LOOP epoch
+            # max_epoch-1 (counted from 0 on this resumed loop), which the
+            # break makes unreachable.
+            config.max_epoch = args.train_epochs
+            trainer.al_iteration = 0
+            if args.val_first:
+                net.eval()
+                trainer.validation(net, validation_loader, config)
+                net.train()
         t1 = time.time()
         trainer.train(net, training_loader, validation_loader, config,
                       al_iteration=0)
