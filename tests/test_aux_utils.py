@@ -92,10 +92,18 @@ class TestVisualizerAndDebug:
 
         batch, plan = demo_batch(C(), batch_size=1, seed=0, density=5.0)
         outs = show_batch(batch, out_dir=str(tmp_path / "dbg"))
-        assert len(outs) == 2
-        for o in outs:
+        plys = [o for o in outs if o.endswith(".ply")]
+        htmls = [o for o in outs if o.endswith(".html")]
+        assert len(plys) == 2          # one ply+png per pyramid level
+        for o in plys:
             assert os.path.exists(o)
             assert os.path.exists(o.replace(".ply", ".png"))
+        # Interactive WebGL viewer (the mayavi-window equivalent): one
+        # self-contained HTML per sphere, no external assets
+        assert len(htmls) == 1 and os.path.exists(htmls[0])
+        with open(htmls[0]) as f:
+            head = f.read(4096)
+        assert "<html" in head.lower()
 
 
 class TestStepTimer:
