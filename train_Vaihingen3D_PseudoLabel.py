@@ -124,6 +124,10 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=None,
                         help="train steps packed into one jitted lax.scan "
                              "dispatch (resident fused path; default auto)")
+    parser.add_argument("--plan_percentile", type=float, default=None,
+                        help="shape-plan level-0 sizing percentile "
+                             "(config.plan_point_percentile); lower than "
+                             "100 thins the oversized-sphere tail")
     args = parser.parse_args(argv)
 
     config = config_cls()
@@ -133,6 +137,8 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
         config.data_parallel_devices = args.devices
     if args.steps_per_dispatch is not None:
         config.steps_per_dispatch = args.steps_per_dispatch
+    if args.plan_percentile is not None:
+        config.plan_point_percentile = args.plan_percentile
     if args.preset == "quick":
         config.in_radius = min(config.in_radius, 7.0)
         config.first_subsampling_dl = max(config.first_subsampling_dl, 0.45)

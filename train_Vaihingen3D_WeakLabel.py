@@ -136,6 +136,13 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=None,
                         help="train steps packed into one jitted lax.scan "
                              "dispatch (resident fused path; default auto)")
+    parser.add_argument("--plan_percentile", type=float, default=None,
+                        help="shape-plan level-0 sizing percentile "
+                             "(config.plan_point_percentile): 100 pads to "
+                             "the largest calibration sphere; lower (e.g. "
+                             "80) sizes to the bulk and randomly thins the "
+                             "oversized tail each visit — ~2x faster steps "
+                             "on long-tailed tiles")
     args = parser.parse_args(argv)
 
     config = config_cls()
@@ -145,6 +152,8 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
         config.data_parallel_devices = args.devices
     if args.steps_per_dispatch is not None:
         config.steps_per_dispatch = args.steps_per_dispatch
+    if args.plan_percentile is not None:
+        config.plan_point_percentile = args.plan_percentile
     if args.preset == "quick":
         config.in_radius = min(config.in_radius, 7.0)
         config.sub_radius = min(getattr(config, "sub_radius", 5), 2.5)

@@ -149,6 +149,22 @@ class Config:
     # resident fused path ships payloads small enough for this to win.
     # "auto" = 10 on a real TPU backend with resident clouds, 1 otherwise.
     steps_per_dispatch = "auto"
+    # Shape-plan level-0 sizing percentile (data/batching.py:
+    # calibrate_shape_plan). 100 = pad every batch to the largest
+    # calibration sphere — simple, but real tiles have long-tailed sphere
+    # sizes, so average batches run ~50% shadow rows and every kernel pays
+    # for them. A lower percentile (e.g. 80) sizes the plan near the bulk
+    # of the distribution and lets the existing sampler thinning
+    # (datasets.sample_sphere max_points) randomly crop the oversized tail
+    # — each visit re-draws the crop, so coverage evens out across epochs.
+    # Measured on the multi-district quality tile: p80 cuts the fused
+    # device step 121.8 -> 71.4 ms (1.7x) with ~1/4 of spheres thinned;
+    # a 3-epoch val-mIoU probe trailed the p100 run (25.7% vs 34.8% at
+    # epoch 1), so treat <100 as a throughput knob whose quality cost
+    # must be checked per dataset. The reference has no equivalent (its
+    # batch_limit PID packs variable sphere counts instead, SURVEY §7.1);
+    # 100 keeps that round-2 behavior and stays the default.
+    plan_point_percentile = 100.0
     # Stall watchdog (weasal_tpu/utils/watchdog.py): hard-exit with code
     # 86 when a training/voting loop makes no progress for this many
     # seconds, so a wrapper can resume from the per-epoch checkpoint. The
@@ -358,3 +374,8 @@ class Config:
                 w(f"weak_label_log = {self.weak_label_log:s}\n")
             if hasattr(self, "dropout"):
                 w(f"dropout = {float(self.dropout):.3f}\n")
+            if float(getattr(self, "plan_point_percentile", 100.0)) != 100.0:
+                # Non-default only: keeps the default parameters.txt
+                # byte-compatible with the reference loader fixtures
+                w("plan_point_percentile = "
+                  f"{float(self.plan_point_percentile):.6f}\n")

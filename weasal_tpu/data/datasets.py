@@ -651,9 +651,13 @@ class CloudSegmentationDataset:
         centers, so the percentile budgets must not be shared."""
         cfg = self.config
         mode = "potentials" if self.use_potentials else "random"
-        return "{}_{:.3f}_{:.3f}_{:d}_{:d}".format(
+        key = "{}_{:.3f}_{:.3f}_{:d}_{:d}".format(
             mode, cfg.in_radius, cfg.first_subsampling_dl, cfg.batch_num,
             cfg.num_layers)
+        pct = float(getattr(cfg, "plan_point_percentile", 100.0))
+        if pct != 100.0:   # suffix only when non-default: old caches stay valid
+            key += "_p{:g}".format(pct)
+        return key
 
     def save_plan(self, plan: ShapePlan) -> None:
         """Persist (an updated) plan under this config's cache key — used
@@ -700,9 +704,11 @@ class CloudSegmentationDataset:
                         int(np.quantile(region_sizes, 0.95)) + 1)
         else:
             r_budget = (0, 0)
-        plan = calibrate_shape_plan(clouds, cfg,
-                                    untouched_ratio=untouched_ratio,
-                                    region_budget=r_budget, rng=rng)
+        plan = calibrate_shape_plan(
+            clouds, cfg, untouched_ratio=untouched_ratio,
+            point_percentile=float(getattr(cfg, "plan_point_percentile",
+                                           100.0)),
+            region_budget=r_budget, rng=rng)
         if self._bands_wanted():
             plan.bands = self._measure_plan_bands(plan, clouds, rng)
         self.save_plan(plan)

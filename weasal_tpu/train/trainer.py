@@ -640,6 +640,19 @@ class ModelTrainer:
         self._watchdog = StallWatchdog.from_config(
             config, label=f"train[{self.mode}]")
 
+        # Opt-in loop diagnostics (no cost when unset):
+        #   WEASAL_LOOP_STATS=1  — per-epoch wall breakdown of the dispatch
+        #     loop (batch wait / rng / dispatch / log-flush), the tool for
+        #     attributing end-to-end step time beyond device time;
+        #   WEASAL_TRACE_DIR=dir — jax.profiler trace of a mid-epoch-0
+        #     window (steps ~20-80), parsed by weasal_tpu/utils/profiling.
+        loop_stats = None
+        if os.environ.get("WEASAL_LOOP_STATS"):
+            loop_stats = {"wait_batch": 0.0, "rng": 0.0, "dispatch": 0.0,
+                          "flush": 0.0}
+        trace_dir = os.environ.get("WEASAL_TRACE_DIR")
+        trace_state = "off" if trace_dir else "done"
+
         try:
             t0 = time.time()
             last_display = time.time()
@@ -654,7 +667,16 @@ class ModelTrainer:
                                              sharding=sharding,
                                              extra_arrays=extra_arrays,
                                              pack=K, keep_fn=keep_fn)
-                for batch, metas in prefetcher:
+                epoch_t0 = time.perf_counter()
+                batch_iter = iter(prefetcher)
+                while True:
+                    _tw = time.perf_counter()
+                    try:
+                        batch, metas = next(batch_iter)
+                    except StopIteration:
+                        break
+                    if loop_stats is not None:
+                        loop_stats["wait_batch"] += time.perf_counter() - _tw
                     if config.saving and pid_file and not exists(pid_file):
                         prefetcher.close()
                         break
@@ -680,8 +702,12 @@ class ModelTrainer:
                     use_contrast = (self.mode == "pseudo"
                                     and self.epoch >= getattr(
                                         config, "contrast_start", 1 << 30))
+                    _tr = time.perf_counter()
                     if K == 1:
                         dropout_key, sub = jax.random.split(dropout_key)
+                        if loop_stats is not None:
+                            loop_stats["rng"] += time.perf_counter() - _tr
+                            _tr = time.perf_counter()
                         (self.state, out_loss, reg_loss, acc,
                          drops) = self._train_step(
                             self.state, batch, jnp.float32(self.lr), sub,
@@ -697,10 +723,16 @@ class ModelTrainer:
                             dropout_key, sub = jax.random.split(dropout_key)
                             subs.append(sub)
                         subs += [subs[-1]] * (K - n_real)
+                        subs = jnp.stack(subs)
+                        if loop_stats is not None:
+                            loop_stats["rng"] += time.perf_counter() - _tr
+                            _tr = time.perf_counter()
                         (self.state, out_loss, reg_loss, acc,
                          drops) = self._train_step_scan(
                             self.state, batch, jnp.float32(self.lr),
-                            jnp.stack(subs), use_contrast=use_contrast)
+                            subs, use_contrast=use_contrast)
+                    if loop_stats is not None:
+                        loop_stats["dispatch"] += time.perf_counter() - _tr
                     drops_pending.append(drops)
                     epoch_real_steps += n_real
 
@@ -714,14 +746,45 @@ class ModelTrainer:
                     if pending_steps >= 20 or \
                             time.time() - last_display > 2.0:
                         last_display = time.time()
+                        _tf = time.perf_counter()
                         self._flush_log(pending, log_file, al_iteration)
+                        if loop_stats is not None:
+                            loop_stats["flush"] += time.perf_counter() - _tf
                         pending = []
                         pending_steps = 0
                         self._watchdog.beat()   # a flush returned = progress
+                        # Profiler window over steady-state steps; opened/
+                        # closed right after a flush, when the dispatch
+                        # queue is quiesced (all traced executions complete)
+                        if trace_state == "off" and self.epoch == 0 \
+                                and self.step >= 20:
+                            jax.profiler.start_trace(trace_dir)
+                            trace_state = "on"
+                            trace_t0 = (self.step, time.perf_counter())
+                        elif trace_state == "on" and \
+                                self.step >= trace_t0[0] + 60:
+                            jax.profiler.stop_trace()
+                            trace_state = "done"
+                            dt = time.perf_counter() - trace_t0[1]
+                            n = self.step - trace_t0[0]
+                            print(f"[trace] {n} steps in {dt:.2f}s wall "
+                                  f"({1e3 * dt / n:.1f} ms/step) -> "
+                                  f"{trace_dir}")
 
                 self._flush_log(pending, log_file, al_iteration)
                 pending = []
                 pending_steps = 0
+
+                if loop_stats is not None:
+                    tot = time.perf_counter() - epoch_t0
+                    acc_t = sum(loop_stats.values())
+                    parts = " ".join(f"{k}={v:.2f}s"
+                                     for k, v in loop_stats.items())
+                    n = max(epoch_real_steps, 1)
+                    print(f"[loop-stats] epoch {self.epoch}: {tot:.2f}s "
+                          f"/ {n} steps = {1e3 * tot / n:.1f} ms/step | "
+                          f"{parts} other={tot - acc_t:.2f}s")
+                    loop_stats = dict.fromkeys(loop_stats, 0.0)
 
                 if config.saving and pid_file and not exists(pid_file):
                     break
@@ -824,6 +887,8 @@ class ModelTrainer:
             # watchdog would os._exit(86) unrelated later work
             # and mask the real failure's exit code.
             self._watchdog.stop()
+            if trace_state == "on":   # epoch ended inside the trace window
+                jax.profiler.stop_trace()
         print("Finished Training")
 
     def _log_header(self, train_dataset, al_iteration) -> str:
