@@ -195,6 +195,22 @@ class TestWLDataset:
             batch.region_point_masks, batch.region_lb)
         assert np.isfinite(float(loss))
 
+    def test_calibration_no_regions(self, wl_dataset, monkeypatch):
+        """All calibration spheres missing the anchor set (regions=[]
+        everywhere — e.g. tiny quick-preset radii on a large sparse-anchor
+        tile) must yield a zero region budget, not crash on an empty
+        quantile (region_counts=[0,...] is truthy while region_sizes=[])."""
+        orig = wl_dataset._sample_calibration_clouds
+
+        def no_regions(num_samples, rng):
+            clouds, counts, _sizes = orig(num_samples, rng)
+            return clouds, [0] * len(counts), []
+
+        monkeypatch.setattr(wl_dataset, "_sample_calibration_clouds",
+                            no_regions)
+        plan = wl_dataset.calibration(num_samples=4, force_redo=True)
+        assert plan.max_regions == 0 and plan.max_region_points == 0
+
     def test_calibration_cached(self, wl_dataset, synth_root):
         assert os.path.exists(os.path.join(synth_root, "shape_plans.json"))
         p1 = wl_dataset.calibration(num_samples=6)

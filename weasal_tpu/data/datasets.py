@@ -699,7 +699,12 @@ class CloudSegmentationDataset:
         clouds, region_counts, region_sizes = \
             self._sample_calibration_clouds(num_samples, rng)
 
-        if region_counts:
+        if region_sizes:
+            # region_counts alone is not enough: spheres can report
+            # regions=[] (counts all 0, a truthy list) when every
+            # calibration sphere misses the anchor set — e.g. tiny
+            # --preset quick radii on a large sparse-anchor tile — and
+            # quantile() on the empty region_sizes would crash.
             r_budget = (int(np.quantile(region_counts, 0.98)) + 2,
                         int(np.quantile(region_sizes, 0.95)) + 1)
         else:
