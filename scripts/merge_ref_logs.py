@@ -40,14 +40,29 @@ def main():
     with open(os.path.join(args.resume, name)) as f:
         resume_lines = f.read().splitlines()
 
-    # Row format: epoch step out_loss offset_loss acc time  (header first)
+    # Row format: epoch step out_loss offset_loss acc time  (header first).
+    # The original run died mid-write by definition, so its last line may be
+    # truncated (fewer than 6 columns, or a column cut mid-token): take
+    # t_last from the last COMPLETE row and drop any trailing partial row
+    # rather than misreading e.g. the acc column as a timestamp.
+    def complete(parts):
+        if len(parts) < 6:
+            return False
+        try:
+            [float(v) for v in parts]
+        except ValueError:
+            return False
+        return True
+
+    while len(orig_lines) > 1 and not complete(orig_lines[-1].split()):
+        orig_lines.pop()
     t_last = float(orig_lines[-1].split()[-1]) if len(orig_lines) > 1 else 0.0
     merged = list(orig_lines)
     for line in resume_lines[1:]:                      # drop resumed header
         parts = line.split()
-        if len(parts) >= 6:
+        if complete(parts):
             parts[-1] = f"{float(parts[-1]) + t_last:.3f}"
-        merged.append(" ".join(parts))
+            merged.append(" ".join(parts))
     with open(os.path.join(args.out, name), "w") as f:
         f.write("\n".join(merged) + "\n")
 

@@ -188,6 +188,24 @@ def test_conf_matrix_create_asymmetric_matches_reference():
     assert sym.shape == (5, 5) and np.trace(sym) == 500
 
 
+def test_conf_matrix_create_drops_out_of_range_labels():
+    """Asymmetric create() must DROP ids outside the declared label sets:
+    negative ignore labels (resident buffers pad labels with -1) used to be
+    silently counted as the last class via Python negative indexing, and
+    ids above max(label_values) raised IndexError."""
+    from weasal_tpu.utils.conf_matrix import create
+
+    labels_gt = [0, 1, 2]
+    labels_pr = [0, 1]
+    gt = np.array([0, 1, 2, -1, 7, 1])
+    pred = np.array([0, 1, 1, 0, 0, 9])
+    out = create(gt, pred, labels_gt, labels_pr)
+    assert out.shape == (3, 2)
+    # only the first three pairs are in-range on both sides
+    assert out.sum() == 3
+    np.testing.assert_array_equal(out, [[1, 0], [0, 1], [0, 1]])
+
+
 def test_al_override_keeps_label_budget():
     """--al_iterations 0 must not silently grant the full anchor set.
 

@@ -92,6 +92,25 @@ def test_subsampling_and_validation(tmp_path):
                     layers=[("bad", np.zeros((4, 2)), None, 1.0)])
 
 
+def test_script_breaking_names_are_escaped(tmp_path):
+    """Layer names / titles come from caller-supplied paths: a literal
+    '</script>' in them must not terminate the viewer's script block
+    (payload escapes '</'), and the title must be HTML-escaped."""
+    pts = np.zeros((4, 3), np.float32)
+    path = export_html(str(tmp_path / "esc.html"),
+                       layers=[("x</script>y", pts, None, 1.0)],
+                       title="a</script><b>")
+    data, html = _payload(path)
+    # round-trips through JSON escaping back to the original strings
+    assert data["layers"][0]["name"] == "x</script>y"
+    assert data["title"] == "a</script><b>"
+    # no raw terminator sequence survives anywhere in the document except
+    # the real closing tags
+    body = html.replace("</script>", "", 1)   # the template's own closer
+    assert "</script>" not in body
+    assert "<title>a&lt;/script&gt;&lt;b&gt;</title>" in html
+
+
 def test_visualizer_emits_html(tmp_path):
     from weasal_tpu.utils.visualizer import show_point_cloud
     pts = np.random.default_rng(1).normal(0, 1, (50, 3)).astype(np.float32)

@@ -775,6 +775,18 @@ class ModelTrainer:
                 pending = []
                 pending_steps = 0
 
+                if trace_state == "on":
+                    # Epoch ended inside the window (epoch_steps < start+60;
+                    # self.step resets per epoch so the in-loop stop above
+                    # would never fire) — close here so the trace stays a
+                    # bounded window instead of spanning the whole run.
+                    jax.profiler.stop_trace()
+                    trace_state = "done"
+                    dt = time.perf_counter() - trace_t0[1]
+                    n = max(self.step - trace_t0[0], 1)
+                    print(f"[trace] {n} steps (to epoch end) in {dt:.2f}s "
+                          f"wall ({1e3 * dt / n:.1f} ms/step) -> {trace_dir}")
+
                 if loop_stats is not None:
                     tot = time.perf_counter() - epoch_t0
                     acc_t = sum(loop_stats.values())

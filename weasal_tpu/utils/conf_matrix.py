@@ -34,9 +34,16 @@ def create(gt: np.ndarray, pred: np.ndarray,
 
     def continuous(data, labels):
         labels = np.asarray(labels, np.int64)
-        table = np.full(labels.max() + 1, -1, np.int64)
+        data = np.asarray(data, np.int64)
+        table = np.full(labels.max() + 2, -1, np.int64)
         table[labels] = np.arange(labels.size)
-        return table[np.asarray(data, np.int64)], labels.size
+        # Route out-of-range ids (negative ignore labels like -1, or ids
+        # above the largest declared label) to the sentinel -1 slot so the
+        # `valid` mask drops them — direct table[data] would wrap negative
+        # ids to the last class and IndexError on overflow ids.
+        safe = np.where((data >= 0) & (data <= labels.max()), data,
+                        labels.max() + 1)
+        return table[safe], labels.size
 
     g, n_gt = continuous(gt, label_values)
     p, n_pr = continuous(pred, pred_label_values)

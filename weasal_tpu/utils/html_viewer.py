@@ -112,7 +112,12 @@ def export_html(path: str,
                         for i, nm in enumerate(legend)]
     payload = json.dumps({"layers": packed_layers, "frames": packed_frames,
                           "legend": legend_items, "title": title})
-    html = _TEMPLATE.replace("__TITLE__", title).replace(
+    # Layer/frame names and titles come from caller paths: escape "</" so a
+    # literal "</script>" inside the JSON cannot terminate the script block,
+    # and HTML-escape the title used in markup.
+    payload = payload.replace("</", "<\\/")
+    import html as _html
+    html = _TEMPLATE.replace("__TITLE__", _html.escape(title)).replace(
         "__PAYLOAD__", payload)
     d = os.path.dirname(path)
     if d:
