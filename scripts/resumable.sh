@@ -1,25 +1,62 @@
 #!/bin/bash
 # Auto-resume wrapper for training/voting runs on the remote-TPU platform.
 #
-# The tunnel can drop an in-flight RPC and wedge the process; the stall
-# watchdog (weasal_tpu/utils/watchdog.py) turns that into exit code 86.
-# This wrapper reruns the command with --resume <latest Log_*> until it
-# exits with any other code. Training state lives in per-epoch
-# checkpoints, so each retry costs at most one epoch.
+# The tunnel can drop an in-flight RPC and wedge the process. Two layers
+# catch that:
+#   1. The in-process stall watchdog (weasal_tpu/utils/watchdog.py) exits
+#      86 when its heartbeat goes stale.
+#   2. This wrapper's OUTER monitor: the watchdog also touches
+#      $WEASAL_HEARTBEAT_FILE on every beat; if the file goes stale for
+#      STALL_KILL_S (default 1800 s) while the child still runs — i.e. the
+#      in-process watchdog itself is wedged (main thread holding the GIL
+#      or the interpreter's stdout lock; both observed) — the wrapper
+#      kill -9s the child and treats it as a stall.
+# Either way the command is rerun until it exits with a non-stall code.
+# Training state lives in per-epoch checkpoints, so each retry costs at
+# most one epoch.
 #
-# Usage: scripts/resumable.sh <results-stage-dir> <command...>
+# Usage: scripts/resumable.sh [--no-resume-arg] <results-stage-dir> <command...>
 #   e.g. scripts/resumable.sh results/PseudoLabel \
 #          /opt/venv/bin/python train_Vaihingen3D_PseudoLabel.py --fused ...
+#
+# --no-resume-arg: rerun the command UNCHANGED after a stall, for commands
+# that do not define --resume (test_models.py voting restarts from scratch
+# and overwrites its artifacts — idempotent, just slower).
 set -u
+RESUME_SUPPORTED=1
+if [ "${1:-}" = "--no-resume-arg" ]; then
+    RESUME_SUPPORTED=0; shift
+fi
 STAGE_DIR=$1; shift
 MAX_RETRIES=${MAX_RETRIES:-12}
+STALL_KILL_S=${STALL_KILL_S:-1800}
+
+HB=$(mktemp /tmp/weasal_hb.XXXXXX)
+export WEASAL_HEARTBEAT_FILE=$HB
+trap 'rm -f "$HB"' EXIT
+
+age() { echo $(( $(date +%s) - $(stat -c %Y "$HB" 2>/dev/null || date +%s) )); }
 
 try=0
 RESUME_ARGS=()
 while :; do
-    "$@" ${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"}
+    touch "$HB"
+    "$@" ${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"} &
+    CHILD=$!
+    STALL_KILLED=0
+    while kill -0 "$CHILD" 2>/dev/null; do
+        sleep 30
+        if [ "$(age)" -gt "$STALL_KILL_S" ] && kill -0 "$CHILD" 2>/dev/null
+        then
+            echo "resumable.sh: heartbeat stale >$STALL_KILL_S s and the" \
+                 "in-process watchdog did not fire; kill -9 $CHILD" >&2
+            kill -9 "$CHILD" 2>/dev/null
+            STALL_KILLED=1
+        fi
+    done
+    wait "$CHILD"
     rc=$?
-    if [ $rc -ne 86 ]; then
+    if [ $rc -ne 86 ] && [ $STALL_KILLED -eq 0 ]; then
         exit $rc
     fi
     try=$((try + 1))
@@ -28,8 +65,8 @@ while :; do
         exit 86
     fi
     LATEST=$(ls -d "$STAGE_DIR"/Log_* 2>/dev/null | sort | tail -1)
-    if [ -z "$LATEST" ]; then
-        echo "resumable.sh: stall before any Log_* existed; rerunning" >&2
+    if [ $RESUME_SUPPORTED -eq 0 ] || [ -z "$LATEST" ]; then
+        echo "resumable.sh: stalled (attempt $try); rerunning" >&2
         continue
     fi
     echo "resumable.sh: stalled (attempt $try); resuming from $LATEST" >&2

@@ -19,6 +19,9 @@ WL_EPOCHS=${WL_EPOCHS:-30}
 WL_STEPS=${WL_STEPS:-600}
 PL_EPOCHS=${PL_EPOCHS:-50}
 PL_STEPS=${PL_STEPS:-200}
+# Re-entry point after a mid-chain failure: START_STAGE=3 skips the
+# completed WL training and vote dump (their artifacts must exist).
+START_STAGE=${START_STAGE:-1}
 mkdir -p "$WD"
 
 if [ ! -f "$ROOT/Vaihingen3D_Training.ply" ]; then
@@ -30,46 +33,56 @@ print("root ready")
 EOF
 fi
 
-# NOTE: each stage runs inside a pipeline (tee); pipefail + explicit rc
-# checks keep a mid-chain failure from silently feeding the next stage.
+# NOTE: each stage runs inside a pipeline (tee); pipefail is what stops
+# the chain when a stage fails (under `set -e` a failing "$@" exits the
+# pipeline subshell directly, so post-hoc rc checks there are dead code).
 run() {
     echo "=== $* ==="
-    "$@"
-    rc=$?
-    if [ $rc -ne 0 ]; then
-        echo "chain: stage failed (rc=$rc): $*" >&2
-        exit $rc
+    if ! "$@"; then
+        echo "chain: stage failed: $*" >&2
+        exit 1
     fi
 }
 
+if [ "$START_STAGE" -le 1 ]; then
 # Stage 1: weak-label training (mid budget), stall-resumable
 run scripts/resumable.sh results/WeakLabel \
     $PY train_Vaihingen3D_WeakLabel.py --fused \
     --data_root "$ROOT" --max_epoch "$WL_EPOCHS" --epoch_steps "$WL_STEPS" \
     --validation_size 50 --al_iterations 0 \
     2>&1 | tee "$WD/wl.log"
+fi
 
-# Stage 2: 20-vote probability dump on the training tile
-run scripts/resumable.sh results/WeakLabel \
+if [ "$START_STAGE" -le 2 ]; then
+# Stage 2: 20-vote probability dump on the training tile. test_models.py
+# has no --resume: a stall rerun restarts the vote from scratch
+# (idempotent artifacts), hence --no-resume-arg.
+run scripts/resumable.sh --no-resume-arg results/WeakLabel \
     $PY test_models.py --log last_Vaihingen3DWL --on train --num_votes 20 \
     --data_root "$ROOT" --fused 2>&1 | tee "$WD/vote.log"
+fi
 
-# Stage 3: pseudo-label refinement (threshold 20%, reference default).
 # Refinement and PL training take the literal Log_ name, not the alias.
 WL_LOG=$(ls -d results/WeakLabel/Log_* 2>/dev/null | sort | tail -1)
 WL_LOG=$(basename "$WL_LOG")
+
+if [ "$START_STAGE" -le 3 ]; then
+# Stage 3: pseudo-label refinement (threshold 20%, reference default).
 run $PY pseudoLabel_refinement.py --weak_label_log "$WL_LOG" \
     --data_root "$ROOT" 2>&1 | tee "$WD/refine.log"
+fi
 
+if [ "$START_STAGE" -le 4 ]; then
 # Stage 4: pseudo-label training (mid budget)
 run scripts/resumable.sh results/PseudoLabel \
     $PY train_Vaihingen3D_PseudoLabel.py --fused \
     --data_root "$ROOT" --weak_label_log "$WL_LOG" \
     --max_epoch "$PL_EPOCHS" --epoch_steps "$PL_STEPS" \
     --validation_size 50 2>&1 | tee "$WD/pl.log"
+fi
 
 # Stage 5: PL eval — 20-vote validation inference (reference protocol)
-run scripts/resumable.sh results/PseudoLabel \
+run scripts/resumable.sh --no-resume-arg results/PseudoLabel \
     $PY test_models.py --log last_Vaihingen3DPL --on validation --num_votes 20 \
     --data_root "$ROOT" --fused 2>&1 | tee "$WD/eval.log"
 

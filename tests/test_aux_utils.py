@@ -147,7 +147,10 @@ class TestStallWatchdog:
         assert r.returncode == 86, (r.returncode, r.stdout, r.stderr)
         assert "ALIVE" in r.stdout
         assert "NEVER" not in r.stdout
-        assert "watchdog" in r.stdout
+        # The stall diagnostic is a raw os.write to fd 2: print()/stdout
+        # would take the interpreter's stdout lock, which the wedged main
+        # thread can hold mid-write (observed: blocked the exit 20+ min).
+        assert "watchdog" in r.stderr
 
     def test_disabled_never_fires(self):
         from weasal_tpu.utils.watchdog import StallWatchdog

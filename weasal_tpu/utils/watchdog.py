@@ -23,8 +23,8 @@ the TPU-platform extension of SURVEY §5.3.
 
 from __future__ import annotations
 
+import faulthandler
 import os
-import sys
 import threading
 import time
 
@@ -57,25 +57,63 @@ class StallWatchdog:
         self._last = time.monotonic()
         self._stop = threading.Event()
         self._thread = None
+        # External heartbeat file (scripts/resumable.sh exports the path):
+        # beat() touches it so an OUTER process can detect a stall even
+        # when this in-process watchdog cannot run at all (main thread
+        # wedged while holding the GIL) and hard-kill us.
+        self._hb_file = os.environ.get("WEASAL_HEARTBEAT_FILE")
+        self._hb_touched = 0.0
         if self.timeout_s > 0:
+            if self._hb_file:
+                try:
+                    with open(self._hb_file, "a"):
+                        pass
+                except OSError:
+                    self._hb_file = None
+            # GIL-free diagnostic backstop: a C-level timer that dumps
+            # every thread's stack to stderr if no beat re-arms it for
+            # 1.5x the stall timeout — when a hang DOES slip past the
+            # thread below, the dump shows where the process was wedged.
+            # exit=False: reaping stays the job of _run / the outer
+            # monitor so the exit code contract (86) holds.
+            faulthandler.dump_traceback_later(self.timeout_s * 1.5,
+                                              exit=False)
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
 
     def beat(self) -> None:
-        self._last = time.monotonic()
+        now = time.monotonic()
+        self._last = now
+        if self.timeout_s > 0 and now - self._hb_touched > 5.0:
+            self._hb_touched = now
+            if self._hb_file:
+                try:
+                    os.utime(self._hb_file)
+                except OSError:
+                    pass
+            faulthandler.dump_traceback_later(self.timeout_s * 1.5,
+                                              exit=False)   # re-arm
 
     def stop(self) -> None:
         self._stop.set()
+        if self.timeout_s > 0:
+            faulthandler.cancel_dump_traceback_later()
 
     def _run(self) -> None:
         while not self._stop.wait(min(self.timeout_s / 4, 60.0)):
             stale = time.monotonic() - self._last
             if stale > self.timeout_s:
-                print(f"[watchdog] {self.label}: no progress for "
-                      f"{stale:.0f} s (> {self.timeout_s:.0f} s) — "
-                      f"assuming a lost tunnel RPC; exiting "
-                      f"{EXIT_STALLED} for a checkpoint resume.",
-                      flush=True)
-                sys.stdout.flush()
-                sys.stderr.flush()
+                # Raw fd write + immediate _exit: print()/sys.stdout would
+                # take the interpreter's stdout lock, which the wedged main
+                # thread can be holding mid-write — observed to delay the
+                # exit by 20+ minutes. os.write to stderr takes no Python
+                # locks; _exit skips atexit/stdio entirely.
+                msg = (f"[watchdog] {self.label}: no progress for "
+                       f"{stale:.0f} s (> {self.timeout_s:.0f} s) — "
+                       f"assuming a lost tunnel RPC; exiting "
+                       f"{EXIT_STALLED} for a checkpoint resume.\n")
+                try:
+                    os.write(2, msg.encode())
+                except OSError:
+                    pass
                 os._exit(EXIT_STALLED)
