@@ -30,6 +30,7 @@ fi
 STAGE_DIR=$1; shift
 MAX_RETRIES=${MAX_RETRIES:-12}
 STALL_KILL_S=${STALL_KILL_S:-1800}
+MONITOR_INTERVAL_S=${MONITOR_INTERVAL_S:-30}
 
 HB=$(mktemp /tmp/weasal_hb.XXXXXX)
 export WEASAL_HEARTBEAT_FILE=$HB
@@ -41,16 +42,19 @@ try=0
 RESUME_ARGS=()
 while :; do
     touch "$HB"
-    "$@" ${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"} &
+    # setsid: the child leads its own process group so a stall kill can
+    # take out its whole tree (a bare kill -9 would orphan grandchildren,
+    # which keep the stdout/stderr pipes open and wedge the pipeline).
+    setsid "$@" ${RESUME_ARGS[@]+"${RESUME_ARGS[@]}"} &
     CHILD=$!
     STALL_KILLED=0
     while kill -0 "$CHILD" 2>/dev/null; do
-        sleep 30
+        sleep "$MONITOR_INTERVAL_S"
         if [ "$(age)" -gt "$STALL_KILL_S" ] && kill -0 "$CHILD" 2>/dev/null
         then
             echo "resumable.sh: heartbeat stale >$STALL_KILL_S s and the" \
-                 "in-process watchdog did not fire; kill -9 $CHILD" >&2
-            kill -9 "$CHILD" 2>/dev/null
+                 "in-process watchdog did not fire; kill -9 group $CHILD" >&2
+            kill -9 -- "-$CHILD" 2>/dev/null || kill -9 "$CHILD" 2>/dev/null
             STALL_KILLED=1
         fi
     done

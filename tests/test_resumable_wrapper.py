@@ -1,0 +1,96 @@
+"""scripts/resumable.sh stall-recovery contract.
+
+Observed failure modes this wrapper exists for (see watchdog.py header):
+the in-process stall watchdog exits 86 (rerun with --resume), or the
+process wedges so hard the watchdog itself cannot run (outer heartbeat
+monitor kill -9s it and reruns). test_models.py-style commands without a
+--resume flag are rerun unchanged via --no-resume-arg.
+"""
+
+import os
+import stat
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WRAPPER = os.path.join(REPO, "scripts", "resumable.sh")
+
+
+def _fake_cmd(tmp_path, body):
+    path = tmp_path / "fake.sh"
+    path.write_text("#!/bin/bash\n" + body)
+    path.chmod(path.stat().st_mode | stat.S_IEXEC)
+    return str(path)
+
+
+def _stage(tmp_path):
+    d = tmp_path / "stage" / "Log_a"
+    d.mkdir(parents=True)
+    return str(tmp_path / "stage")
+
+
+def _run(args, timeout=60, env=None):
+    e = dict(os.environ, MONITOR_INTERVAL_S="1")
+    e.update(env or {})
+    return subprocess.run(["bash", WRAPPER] + args, capture_output=True,
+                          text=True, timeout=timeout, env=e)
+
+
+def test_exit_86_resumes_with_latest_log(tmp_path):
+    marker = tmp_path / "marker"
+    cmd = _fake_cmd(tmp_path, f"""
+if [ ! -f {marker} ]; then touch {marker}; echo run1 "$@"; exit 86; fi
+echo run2 "$@"; exit 0
+""")
+    r = _run([_stage(tmp_path), cmd, "--foo"])
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "run1 --foo\n" in r.stdout
+    assert "run2 --foo --resume" in r.stdout          # resume arg appended
+
+
+def test_no_resume_arg_reruns_unchanged(tmp_path):
+    marker = tmp_path / "marker"
+    cmd = _fake_cmd(tmp_path, f"""
+if [ ! -f {marker} ]; then touch {marker}; exit 86; fi
+echo run2 args:"$@"; exit 0
+""")
+    r = _run(["--no-resume-arg", _stage(tmp_path), cmd, "--foo"])
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "run2 args:--foo\n" in r.stdout            # no --resume added
+
+
+def test_non_stall_exit_codes_pass_through(tmp_path):
+    cmd = _fake_cmd(tmp_path, "exit 3\n")
+    r = _run([_stage(tmp_path), cmd])
+    assert r.returncode == 3
+
+
+def test_wedged_child_is_killed_and_rerun(tmp_path):
+    """A child that never touches the heartbeat file (fully wedged — even
+    the in-process watchdog can't run) is kill -9d by the outer monitor
+    and the command rerun."""
+    marker = tmp_path / "marker"
+    cmd = _fake_cmd(tmp_path, f"""
+if [ ! -f {marker} ]; then touch {marker}; sleep 300; exit 0; fi
+echo recovered; exit 0
+""")
+    r = _run(["--no-resume-arg", _stage(tmp_path), cmd], timeout=90,
+             env={"STALL_KILL_S": "2"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "recovered" in r.stdout
+    assert "kill -9" in r.stderr
+
+
+def test_beating_child_is_left_alone(tmp_path):
+    """A slow child that beats (touches $WEASAL_HEARTBEAT_FILE) must NOT
+    be killed even with a tight STALL_KILL_S."""
+    cmd = _fake_cmd(tmp_path, """
+for i in 1 2 3 4 5 6; do sleep 1; touch "$WEASAL_HEARTBEAT_FILE"; done
+echo finished; exit 0
+""")
+    r = _run(["--no-resume-arg", _stage(tmp_path), cmd], timeout=60,
+             env={"STALL_KILL_S": "3"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "finished" in r.stdout
+    assert "kill -9" not in r.stderr
