@@ -31,6 +31,12 @@ STAGE_DIR=$1; shift
 MAX_RETRIES=${MAX_RETRIES:-12}
 STALL_KILL_S=${STALL_KILL_S:-1800}
 MONITOR_INTERVAL_S=${MONITOR_INTERVAL_S:-30}
+# The platform's TPU tunnel client leaks host memory per dispatch (measured
+# ~22 MB/batch on the 1.9M-point vote loop; a 20-vote dump OOM-killed at
+# 131 GB RSS). Restart the child BEFORE the kernel OOM-killer fires, so
+# the retry resumes from a checkpoint instead of dying with SIGKILL and
+# losing the whole stage. Default: 75% of MemTotal.
+MEM_KILL_KB=${MEM_KILL_KB:-$(awk '/MemTotal/{printf "%d", $2*0.75}' /proc/meminfo)}
 
 HB=$(mktemp /tmp/weasal_hb.XXXXXX)
 export WEASAL_HEARTBEAT_FILE=$HB
@@ -54,6 +60,14 @@ while :; do
         then
             echo "resumable.sh: heartbeat stale >$STALL_KILL_S s and the" \
                  "in-process watchdog did not fire; kill -9 group $CHILD" >&2
+            kill -9 -- "-$CHILD" 2>/dev/null || kill -9 "$CHILD" 2>/dev/null
+            STALL_KILLED=1
+        fi
+        RSS=$(awk '/VmRSS/{print $2}' "/proc/$CHILD/status" 2>/dev/null)
+        if [ -n "${RSS:-}" ] && [ "$RSS" -gt "$MEM_KILL_KB" ]; then
+            echo "resumable.sh: child RSS ${RSS} kB > ${MEM_KILL_KB} kB" \
+                 "(tunnel-client leak); kill -9 group $CHILD for a" \
+                 "checkpoint resume before the kernel OOM-killer fires" >&2
             kill -9 -- "-$CHILD" 2>/dev/null || kill -9 "$CHILD" 2>/dev/null
             STALL_KILLED=1
         fi

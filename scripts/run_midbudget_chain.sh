@@ -55,9 +55,8 @@ fi
 
 if [ "$START_STAGE" -le 2 ]; then
 # Stage 2: 20-vote probability dump on the training tile. test_models.py
-# has no --resume: a stall rerun restarts the vote from scratch
-# (idempotent artifacts), hence --no-resume-arg.
-run scripts/resumable.sh --no-resume-arg results/WeakLabel \
+# resumes from the per-boundary vote checkpoint on stall/OOM retries.
+run scripts/resumable.sh results/WeakLabel \
     $PY test_models.py --log last_Vaihingen3DWL --on train --num_votes 20 \
     --data_root "$ROOT" --fused 2>&1 | tee "$WD/vote.log"
 fi
@@ -82,7 +81,7 @@ run scripts/resumable.sh results/PseudoLabel \
 fi
 
 # Stage 5: PL eval — 20-vote validation inference (reference protocol)
-run scripts/resumable.sh --no-resume-arg results/PseudoLabel \
+run scripts/resumable.sh results/PseudoLabel \
     $PY test_models.py --log last_Vaihingen3DPL --on validation --num_votes 20 \
     --data_root "$ROOT" --fused 2>&1 | tee "$WD/eval.log"
 

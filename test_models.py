@@ -64,9 +64,14 @@ def main(argv=None):
     parser.add_argument("--fused", action="store_true",
                         help="run the voting inference through the fused "
                              "device-pyramid eval step")
+    parser.add_argument("--resume", default=None, metavar="LOG_DIR",
+                        help="resume an interrupted vote from LOG_DIR's "
+                             "vote checkpoint (written at every vote "
+                             "boundary; scripts/resumable.sh passes this "
+                             "on stall/OOM retries)")
     args = parser.parse_args(argv)
 
-    chosen_log = model_choice(args.log)
+    chosen_log = model_choice(args.resume or args.log)
     print("\nTesting on " + chosen_log)
 
     chosen_chkp = args.chkp or os.path.join(chosen_log, "checkpoints",
@@ -95,7 +100,8 @@ def main(argv=None):
     tester = ModelTester(config, dataset, chosen_chkp)
     tester.cloud_segmentation_test(dataset, num_votes,
                                    test_on_train=test_on_train,
-                                   stage_dir=stage_dir)
+                                   stage_dir=stage_dir,
+                                   resume=args.resume is not None)
 
 
 if __name__ == "__main__":

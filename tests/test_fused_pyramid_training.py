@@ -87,3 +87,62 @@ def test_fused_eval_paths(setup, tmp_path):
         cfg.saving = saved_saving
     assert all(np.isfinite(p).all() for p in probs)
     assert any(p.any() for p in probs)
+
+
+def test_vote_resume_matches_uninterrupted(setup, monkeypatch, tmp_path):
+    """A vote interrupted mid-run and resumed from its checkpoint produces
+    bit-identical probs to an uninterrupted vote.
+
+    This is the recovery path for the two observed mid-vote killers on the
+    TPU platform: wedged tunnel RPCs (stall watchdog) and the tunnel
+    client's per-dispatch host memory leak (resumable.sh RSS guard) — both
+    rerun test_models.py with --resume.
+    """
+    import weasal_tpu.data.loader as loader_mod
+    from weasal_tpu.data.datasets import Vaihingen3DWLDataset
+    from weasal_tpu.train.tester import ModelTester
+
+    cfg, ds = setup
+    chkp = os.path.join(cfg.saving_path, "checkpoints", "current_chkp.tar")
+    assert os.path.exists(chkp)   # test_fused_training_runs ran first
+    vote_chkp = os.path.join(cfg.saving_path, "vote_chkp_train.pkl")
+    monkeypatch.chdir(tmp_path)               # tester artifacts -> tmp
+    monkeypatch.setattr(cfg, "validation_size", 4)   # faster vote epochs
+
+    def run(resume=False):
+        test_ds = Vaihingen3DWLDataset(cfg, split="test", test_on_train=True,
+                                       data_root=ds.path,
+                                       rng=np.random.default_rng(2))
+        tester = ModelTester(cfg, test_ds, chkp)
+        return tester.cloud_segmentation_test(test_ds, num_votes=1,
+                                              test_on_train=True,
+                                              resume=resume)
+
+    # Reference: uninterrupted run. Completion must clean up its checkpoint.
+    ref_probs = run()
+    assert not os.path.exists(vote_chkp)
+
+    # Interrupted run: die at the start of the first epoch AFTER a vote
+    # checkpoint exists (the per-epoch prefetcher build is the seam).
+    class Interrupted(Exception):
+        pass
+
+    real_prefetcher = loader_mod.BatchPrefetcher
+
+    def bombing_prefetcher(*a, **k):
+        if os.path.exists(vote_chkp):
+            raise Interrupted()
+        return real_prefetcher(*a, **k)
+
+    monkeypatch.setattr(loader_mod, "BatchPrefetcher", bombing_prefetcher)
+    with pytest.raises(Interrupted):
+        run()
+    monkeypatch.setattr(loader_mod, "BatchPrefetcher", real_prefetcher)
+    assert os.path.exists(vote_chkp)
+
+    # Resume: restored potentials/rng/probs replay the remaining epochs
+    # exactly as the uninterrupted run did.
+    res_probs = run(resume=True)
+    assert not os.path.exists(vote_chkp)
+    for r, p in zip(ref_probs, res_probs):
+        np.testing.assert_array_equal(r, p)

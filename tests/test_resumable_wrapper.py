@@ -82,6 +82,34 @@ echo recovered; exit 0
     assert "kill -9" in r.stderr
 
 
+def test_bloated_child_is_killed_and_resumed(tmp_path):
+    """A child whose RSS exceeds MEM_KILL_KB (the tunnel client's
+    per-dispatch host leak) is kill -9d proactively — before the kernel
+    OOM-killer — and rerun with --resume."""
+    marker = tmp_path / "marker"
+    cmd = _fake_cmd(tmp_path, f"""
+touch "$WEASAL_HEARTBEAT_FILE"
+if [ ! -f {marker} ]; then
+  touch {marker}
+  # balloon ~80 MB of RSS, then idle (heartbeat stays fresh)
+  exec /opt/venv/bin/python -c '
+import os, time
+x = bytearray(80 * 1024 * 1024)
+f = os.environ["WEASAL_HEARTBEAT_FILE"]
+for _ in range(300):
+    os.utime(f)
+    time.sleep(1)'
+fi
+echo resumed "$@"; exit 0
+""")
+    r = _run([_stage(tmp_path), cmd], timeout=120,
+             env={"MEM_KILL_KB": "40000"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "resumed" in r.stdout
+    assert "--resume" in r.stdout
+    assert "RSS" in r.stderr
+
+
 def test_beating_child_is_left_alone(tmp_path):
     """A slow child that beats (touches $WEASAL_HEARTBEAT_FILE) must NOT
     be killed even with a tight STALL_KILL_S."""

@@ -137,7 +137,8 @@ class ModelTester:
     def cloud_segmentation_test(self, dataset, num_votes: int = 100,
                                 active_learning: bool = False,
                                 test_on_train: bool = False,
-                                stage_dir: str = "WeakLabel"):
+                                stage_dir: str = "WeakLabel",
+                                resume: bool = False):
         config = self.config
         test_smooth = 0.95
         test_radius_ratio = 0.7
@@ -211,6 +212,37 @@ class ModelTester:
             from weasal_tpu.parallel.mesh import batch_sharding
             sharding = batch_sharding(self.mesh)
 
+        # Vote checkpointing: the voting loop is the longest un-resumable
+        # stage on this platform (a 20-vote dump on the 1.9M-point tile is
+        # ~40 epochs / ~75 min), and both failure modes observed in real
+        # runs — a wedged tunnel RPC and the platform's per-dispatch host
+        # memory leak (OOM at ~130 GB RSS) — kill the process mid-vote.
+        # Persist (probs, potentials, rng, epoch counters) at every vote
+        # boundary so a rerun with resume=True costs at most ~2 epochs.
+        chkp_file = None
+        if not active_learning and getattr(config, "saving", False) \
+                and config.saving_path:
+            tag = "train" if test_on_train else dataset.split
+            chkp_file = join(config.saving_path, f"vote_chkp_{tag}.pkl")
+            if resume and os.path.exists(chkp_file):
+                with open(chkp_file, "rb") as f:
+                    vc = pickle.load(f)
+                self.test_probs = vc["test_probs"]
+                if vote_acc is not None:
+                    vote_acc.load(self.test_probs)
+                dataset.potentials = vc["potentials"]
+                dataset.min_potentials = vc["min_potentials"]
+                dataset.argmin_potentials = vc["argmin_potentials"]
+                rng.bit_generator.state = vc["rng_state"]
+                test_epoch = vc["test_epoch"]
+                last_min = vc["last_min"]
+                print(f"Vote resumed at epoch {test_epoch}, min potential "
+                      f"{dataset.min_potential():.1f}")
+            elif os.path.exists(chkp_file):
+                # stale state from an earlier run of this log — a fresh
+                # vote must not resume from it on its own stall retries
+                os.remove(chkp_file)
+
         try:
             while True:
                 # augment=True: the reference's voting protocol averages
@@ -251,6 +283,14 @@ class ModelTester:
                     # threshold; the wedge (lost RPC) stops these beats
                     # too, and the materialize fetch catches it.
                     watchdog.beat()
+                    if vote_acc is not None and (i + 1) % 20 == 0:
+                        # Drain the tunnel's dispatch backlog every ~20
+                        # batches (see DeviceVoteAccumulator.sync): without
+                        # this, the first fetch after a 200-batch epoch
+                        # paid the whole backlog at once — minutes, which
+                        # the stall watchdog killed as a hang.
+                        vote_acc.sync()
+                        watchdog.beat()   # the fetch returned = alive
                     if time.time() - t_last > 1.0:
                         t_last = time.time()
                         print(f"e{test_epoch:03d}-i{i:04d} => "
@@ -267,6 +307,19 @@ class ModelTester:
                         # One fetch per vote epoch instead of one per batch
                         self.test_probs = vote_acc.materialize()
                         watchdog.beat()   # the fetch returned = device alive
+
+                    if chkp_file is not None:
+                        tmp = chkp_file + ".tmp"
+                        with open(tmp, "wb") as f:
+                            pickle.dump(dict(
+                                test_probs=self.test_probs,
+                                potentials=dataset.potentials,
+                                min_potentials=dataset.min_potentials,
+                                argmin_potentials=dataset.argmin_potentials,
+                                rng_state=rng.bit_generator.state,
+                                test_epoch=test_epoch + 1,
+                                last_min=last_min), f)
+                        os.replace(tmp, chkp_file)
 
                     if dataset.split == "validation":
                         self._subcloud_confusion(dataset, val_proportions)
@@ -305,6 +358,8 @@ class ModelTester:
             # Disarm even on exceptions (an orphaned armed
             # watchdog would hard-kill later unrelated work)
             watchdog.stop()
+        if chkp_file is not None and os.path.exists(chkp_file):
+            os.remove(chkp_file)    # completed: nothing left to resume
         return self.test_probs
 
     # ------------------------------------------------------------------

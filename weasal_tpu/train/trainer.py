@@ -1049,6 +1049,12 @@ class ModelTrainer:
                 val_acc.update(probs_dev, batch)
                 buffered.append((jnp.argmax(probs_dev, axis=-1), labels_dev))
                 metas_all.append(metas)
+                if len(buffered) % 20 == 0:
+                    # Tiny dependent fetch: keep the tunnel's un-synced
+                    # device_put backlog short (DeviceVoteAccumulator.sync
+                    # documents the measured pathology) so the one big
+                    # device_get below doesn't pay a whole epoch's drain.
+                    val_acc.sync()
             for (preds_all, labels_all), metas in zip(
                     jax.device_get(buffered), metas_all):
                 for b, meta in enumerate(metas):

@@ -115,6 +115,20 @@ class DeviceVoteAccumulator:
                                   batch["center_pts"],
                                   batch["res_points"], d2, use_d2=use_d2)
 
+    def sync(self) -> None:
+        """Force every dispatched update (and the H2D uploads it consumed)
+        to complete, via a 4-byte dependent fetch.
+
+        The remote-TPU tunnel degrades catastrophically when hundreds of
+        un-synced ``device_put`` batches back up: measured on this
+        platform, 400 un-synced vote batches made the next fetch take
+        150-450 s (scaling with the backlog), which a 900 s stall
+        watchdog reads as a hang. Draining every ~20 batches keeps the
+        tunnel queue short; the per-sync cost is one small round-trip
+        plus whatever compute was already owed.
+        """
+        np.asarray(self._flat[0, 0])
+
     def materialize(self) -> List[np.ndarray]:
         """One D2H fetch -> per-cloud [n_i, C] float arrays (the same
         shape/content contract as the host-side ``test_probs`` /
