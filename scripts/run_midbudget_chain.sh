@@ -19,6 +19,7 @@ WL_EPOCHS=${WL_EPOCHS:-30}
 WL_STEPS=${WL_STEPS:-600}
 PL_EPOCHS=${PL_EPOCHS:-50}
 PL_STEPS=${PL_STEPS:-200}
+EVAL_VOTES=${EVAL_VOTES:-20}
 # Re-entry point after a mid-chain failure: START_STAGE=3 skips the
 # completed WL training and vote dump (their artifacts must exist).
 START_STAGE=${START_STAGE:-1}
@@ -80,9 +81,11 @@ run scripts/resumable.sh results/PseudoLabel \
     --validation_size 50 2>&1 | tee "$WD/pl.log"
 fi
 
-# Stage 5: PL eval — 20-vote validation inference (reference protocol)
+# Stage 5: PL eval — validation-set voting inference (reference protocol;
+# EVAL_VOTES scales the vote count to the available wall clock).
 run scripts/resumable.sh results/PseudoLabel \
-    $PY test_models.py --log last_Vaihingen3DPL --on validation --num_votes 20 \
+    $PY test_models.py --log last_Vaihingen3DPL --on validation \
+    --num_votes "$EVAL_VOTES" \
     --data_root "$ROOT" --fused 2>&1 | tee "$WD/eval.log"
 
 echo "chain complete: logs under $WD"
