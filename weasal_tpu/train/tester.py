@@ -223,6 +223,9 @@ class ModelTester:
         if not active_learning and getattr(config, "saving", False) \
                 and config.saving_path:
             tag = "train" if test_on_train else dataset.split
+            # the tester may be pointed at a log whose directory was never
+            # created in this process (e.g. a fabricated log name in tests)
+            os.makedirs(config.saving_path, exist_ok=True)
             chkp_file = join(config.saving_path, f"vote_chkp_{tag}.pkl")
             if resume and os.path.exists(chkp_file):
                 with open(chkp_file, "rb") as f:
