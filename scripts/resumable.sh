@@ -29,6 +29,12 @@ if [ "${1:-}" = "--no-resume-arg" ]; then
 fi
 STAGE_DIR=$1; shift
 MAX_RETRIES=${MAX_RETRIES:-12}
+# CRASH_RETRIES > 0 also reruns a child that CRASHES with a nonzero,
+# non-stall exit code (observed: a transient TPU-tunnel FailedPrecondition
+# right after a previous process's teardown aborted a chain stage that
+# succeeded on plain rerun). Opt-in: the default 0 preserves fail-fast on
+# real bugs.
+CRASH_RETRIES=${CRASH_RETRIES:-0}
 STALL_KILL_S=${STALL_KILL_S:-1800}
 MONITOR_INTERVAL_S=${MONITOR_INTERVAL_S:-30}
 # The platform's TPU tunnel client leaks host memory per dispatch (measured
@@ -45,6 +51,7 @@ trap 'rm -f "$HB"' EXIT
 age() { echo $(( $(date +%s) - $(stat -c %Y "$HB" 2>/dev/null || date +%s) )); }
 
 try=0
+crash=0
 RESUME_ARGS=()
 while :; do
     touch "$HB"
@@ -74,19 +81,28 @@ while :; do
     done
     wait "$CHILD"
     rc=$?
-    if [ $rc -ne 86 ] && [ $STALL_KILLED -eq 0 ]; then
-        exit $rc
+    if [ $rc -eq 0 ]; then
+        exit 0
     fi
-    try=$((try + 1))
-    if [ $try -gt "$MAX_RETRIES" ]; then
-        echo "resumable.sh: giving up after $MAX_RETRIES stalls" >&2
-        exit 86
+    if [ $rc -eq 86 ] || [ $STALL_KILLED -eq 1 ]; then
+        try=$((try + 1))
+        if [ $try -gt "$MAX_RETRIES" ]; then
+            echo "resumable.sh: giving up after $MAX_RETRIES stalls" >&2
+            exit 86
+        fi
+        kind="stalled (attempt $try)"
+    else
+        crash=$((crash + 1))
+        if [ $crash -gt "$CRASH_RETRIES" ]; then
+            exit $rc
+        fi
+        kind="crashed rc=$rc (crash retry $crash/$CRASH_RETRIES)"
     fi
     LATEST=$(ls -d "$STAGE_DIR"/Log_* 2>/dev/null | sort | tail -1)
     if [ $RESUME_SUPPORTED -eq 0 ] || [ -z "$LATEST" ]; then
-        echo "resumable.sh: stalled (attempt $try); rerunning" >&2
+        echo "resumable.sh: $kind; rerunning" >&2
         continue
     fi
-    echo "resumable.sh: stalled (attempt $try); resuming from $LATEST" >&2
+    echo "resumable.sh: $kind; resuming from $LATEST" >&2
     RESUME_ARGS=(--resume "$LATEST")   # replace, don't accumulate
 done

@@ -66,6 +66,27 @@ def test_non_stall_exit_codes_pass_through(tmp_path):
     assert r.returncode == 3
 
 
+def test_crash_retries_rerun_with_resume(tmp_path):
+    """With CRASH_RETRIES set, a nonzero non-stall exit (e.g. a transient
+    tunnel FailedPrecondition) is rerun with --resume; the budget is
+    separate from the stall budget and exhausting it passes the rc through."""
+    marker = tmp_path / "marker"
+    cmd = _fake_cmd(tmp_path, f"""
+if [ ! -f {marker} ]; then touch {marker}; echo run1; exit 1; fi
+echo run2 "$@"; exit 0
+""")
+    stage = _stage(tmp_path)
+    r = _run([stage, cmd], env={"CRASH_RETRIES": "2"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "run2 --resume" in r.stdout
+    assert "crash retry 1/2" in r.stderr
+
+    # budget exhausted -> original exit code propagates
+    cmd2 = _fake_cmd(tmp_path, "exit 5\n")
+    r2 = _run([stage, cmd2], env={"CRASH_RETRIES": "1"})
+    assert r2.returncode == 5
+
+
 def test_wedged_child_is_killed_and_rerun(tmp_path):
     """A child that never touches the heartbeat file (fully wedged — even
     the in-process watchdog can't run) is kill -9d by the outer monitor
