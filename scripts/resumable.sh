@@ -22,6 +22,12 @@
 # --no-resume-arg: rerun the command UNCHANGED after a stall, for commands
 # that do not define --resume (test_models.py voting restarts from scratch
 # and overwrites its artifacts — idempotent, just slower).
+#
+# Resume-target selection: set RESUME_LOG=<dir> to pin the log dir
+# explicitly. Otherwise the first retry picks the newest Log_* CREATED (or
+# touched) after this wrapper started — i.e. the child's own log — and that
+# choice is then FROZEN for every later retry, so a stray newer log from a
+# concurrent run (smoke test, other dataset) can't hijack the resume.
 set -u
 RESUME_SUPPORTED=1
 if [ "${1:-}" = "--no-resume-arg" ]; then
@@ -50,11 +56,17 @@ trap 'rm -f "$HB"' EXIT
 
 age() { echo $(( $(date +%s) - $(stat -c %Y "$HB" 2>/dev/null || date +%s) )); }
 
+WRAPPER_START=$(date +%s)
+# Optional explicit resume target (ADVICE r3 #1): pins --resume to this
+# dir instead of globbing the stage dir.
+PINNED_LOG=${RESUME_LOG:-}
+
 try=0
 crash=0
 RESUME_ARGS=()
 while :; do
     touch "$HB"
+    HB_INIT_MTIME=$(stat -c %Y "$HB")
     # setsid: the child leads its own process group so a stall kill can
     # take out its whole tree (a bare kill -9 would orphan grandchildren,
     # which keep the stdout/stderr pipes open and wedge the pipeline).
@@ -63,7 +75,19 @@ while :; do
     STALL_KILLED=0
     while kill -0 "$CHILD" 2>/dev/null; do
         sleep "$MONITOR_INTERVAL_S"
-        if [ "$(age)" -gt "$STALL_KILL_S" ] && kill -0 "$CHILD" 2>/dev/null
+        # The stall kill arms only once the child has beaten at least once
+        # (heartbeat mtime moved past the wrapper's own initial touch) —
+        # a child with its in-process watchdog disabled, or one with a
+        # long pre-first-beat phase (cold compiles), must not be killed
+        # while making progress (ADVICE r3 #3). The RSS guard below stays
+        # armed throughout.
+        HB_ARMED=0
+        if [ "$(stat -c %Y "$HB" 2>/dev/null || echo "$HB_INIT_MTIME")" \
+             -gt "$HB_INIT_MTIME" ]; then
+            HB_ARMED=1
+        fi
+        if [ "$HB_ARMED" -eq 1 ] && [ "$(age)" -gt "$STALL_KILL_S" ] \
+           && kill -0 "$CHILD" 2>/dev/null
         then
             echo "resumable.sh: heartbeat stale >$STALL_KILL_S s and the" \
                  "in-process watchdog did not fire; kill -9 group $CHILD" >&2
@@ -98,11 +122,27 @@ while :; do
         fi
         kind="crashed rc=$rc (crash retry $crash/$CRASH_RETRIES)"
     fi
-    LATEST=$(ls -d "$STAGE_DIR"/Log_* 2>/dev/null | sort | tail -1)
-    if [ $RESUME_SUPPORTED -eq 0 ] || [ -z "$LATEST" ]; then
+    # Resolve the resume target ONCE, then freeze it (ADVICE r3 #1): prefer
+    # a log created/updated after this wrapper started (the child's own);
+    # fall back to the newest pre-existing log only when the child resumed
+    # an older run (e.g. test_models.py voting into the training log).
+    if [ -z "$PINNED_LOG" ]; then
+        PINNED_LOG=$(find "$STAGE_DIR" -maxdepth 1 -name 'Log_*' \
+                         -newermt "@$WRAPPER_START" 2>/dev/null \
+                     | sort | tail -1)
+        if [ -z "$PINNED_LOG" ]; then
+            PINNED_LOG=$(ls -d "$STAGE_DIR"/Log_* 2>/dev/null \
+                         | sort | tail -1)
+            if [ -n "$PINNED_LOG" ]; then
+                echo "resumable.sh: no log newer than wrapper start;" \
+                     "pinning pre-existing $PINNED_LOG" >&2
+            fi
+        fi
+    fi
+    if [ $RESUME_SUPPORTED -eq 0 ] || [ -z "$PINNED_LOG" ]; then
         echo "resumable.sh: $kind; rerunning" >&2
         continue
     fi
-    echo "resumable.sh: $kind; resuming from $LATEST" >&2
-    RESUME_ARGS=(--resume "$LATEST")   # replace, don't accumulate
+    echo "resumable.sh: $kind; resuming from $PINNED_LOG" >&2
+    RESUME_ARGS=(--resume "$PINNED_LOG")   # replace, don't accumulate
 done

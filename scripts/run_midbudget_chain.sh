@@ -23,6 +23,11 @@ EVAL_VOTES=${EVAL_VOTES:-20}
 # Re-entry point after a mid-chain failure: START_STAGE=3 skips the
 # completed WL training and vote dump (their artifacts must exist).
 START_STAGE=${START_STAGE:-1}
+# The tunnel can refuse new clients for ~2-4 min after a previous TPU
+# process's teardown (transient FAILED_PRECONDITION on the first device
+# fetch) — every stage that touches the TPU runs with crash retries on by
+# default (ADVICE r3 #2).
+export CRASH_RETRIES=${CRASH_RETRIES:-2}
 mkdir -p "$WD"
 
 if [ ! -f "$ROOT/Vaihingen3D_Training.ply" ]; then
@@ -54,21 +59,27 @@ run scripts/resumable.sh results/WeakLabel \
     2>&1 | tee "$WD/wl.log"
 fi
 
+# Resolve the WL log ONCE (newest after stage 1) and pin every later
+# stage to it — stages 2-5 must not re-glob (ADVICE r3 #1: a stray newer
+# log, e.g. from a concurrent smoke run, would hijack the chain).
+WL_LOG_DIR=$(ls -d results/WeakLabel/Log_* 2>/dev/null | sort | tail -1)
+WL_LOG=$(basename "$WL_LOG_DIR")
+
 if [ "$START_STAGE" -le 2 ]; then
 # Stage 2: 20-vote probability dump on the training tile. test_models.py
-# resumes from the per-boundary vote checkpoint on stall/OOM retries.
-run scripts/resumable.sh results/WeakLabel \
-    $PY test_models.py --log last_Vaihingen3DWL --on train --num_votes 20 \
+# resumes from the per-boundary vote checkpoint on stall/OOM retries;
+# RESUME_LOG pins the retries to the chain's own WL log.
+run env RESUME_LOG="$WL_LOG_DIR" scripts/resumable.sh results/WeakLabel \
+    $PY test_models.py --log "$WL_LOG_DIR" --on train --num_votes 20 \
     --data_root "$ROOT" --fused 2>&1 | tee "$WD/vote.log"
 fi
 
-# Refinement and PL training take the literal Log_ name, not the alias.
-WL_LOG=$(ls -d results/WeakLabel/Log_* 2>/dev/null | sort | tail -1)
-WL_LOG=$(basename "$WL_LOG")
-
 if [ "$START_STAGE" -le 3 ]; then
 # Stage 3: pseudo-label refinement (threshold 20%, reference default).
-run $PY pseudoLabel_refinement.py --weak_label_log "$WL_LOG" \
+# Host-side numpy, but wrapped anyway: a transient failure should not
+# abort the chain (ADVICE r3 #2).
+run scripts/resumable.sh --no-resume-arg results/WeakLabel \
+    $PY pseudoLabel_refinement.py --weak_label_log "$WL_LOG" \
     --data_root "$ROOT" 2>&1 | tee "$WD/refine.log"
 fi
 

@@ -149,14 +149,18 @@ class Config:
     # resident fused path ships payloads small enough for this to win.
     # "auto" = 10 on a real TPU backend with resident clouds, 1 otherwise.
     steps_per_dispatch = "auto"
-    # Shape-plan level-0 sizing percentile (data/batching.py:
-    # calibrate_shape_plan). 100 = pad every batch to the largest
-    # calibration sphere — simple, but real tiles have long-tailed sphere
-    # sizes, so average batches run ~50% shadow rows and every kernel pays
-    # for them. A lower percentile (e.g. 80) sizes the plan near the bulk
-    # of the distribution and lets the existing sampler thinning
-    # (datasets.sample_sphere max_points) randomly crop the oversized tail
-    # — each visit re-draws the crop, so coverage evens out across epochs.
+    # Shape-plan LEVEL-0 sizing percentile (data/batching.py:
+    # calibrate_shape_plan; applies to level 0 only — upper levels are
+    # always sized at p100, because the sampler thinning that legalizes an
+    # undersized budget crops only level 0, and random point thinning
+    # barely shrinks the occupied-voxel counts that set upper-level
+    # sizes). 100 = pad every batch to the largest calibration sphere —
+    # simple, but real tiles have long-tailed sphere sizes, so average
+    # batches run ~50% shadow rows and every kernel pays for them. A lower
+    # percentile (e.g. 80) sizes level 0 near the bulk of the distribution
+    # and lets the existing sampler thinning (datasets.sample_sphere
+    # max_points) randomly crop the oversized tail — each visit re-draws
+    # the crop, so coverage evens out across epochs.
     # Measured on the multi-district quality tile: p80 cuts the fused
     # device step 121.8 -> 71.4 ms (1.7x) with ~1/4 of spheres thinned;
     # a 3-epoch val-mIoU probe trailed the p100 run (25.7% vs 34.8% at

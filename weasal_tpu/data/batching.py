@@ -240,8 +240,17 @@ def calibrate_shape_plan(sphere_point_clouds: Sequence[np.ndarray],
         allc = np.concatenate(rows)
         return int(np.quantile(allc, untouched_ratio)) + 1
 
+    # point_percentile sizes LEVEL 0 ONLY: the runtime crop that makes an
+    # undersized budget legal is the sampler's level-0 thinning
+    # (datasets.sample_sphere max_points), and random point thinning
+    # barely reduces the occupied-VOXEL counts that set the upper-level
+    # sizes — an upper level sized at p<100 of uncropped calibration
+    # counts would overflow (surface as kernel_drops) for every sphere
+    # above the percentile (ADVICE r3 #5). Upper levels stay at p100.
     num_points = [
-        _round_up(np.percentile(counts[l], point_percentile) * 1.1 + 1, 8)
+        _round_up(np.percentile(counts[l],
+                                point_percentile if l == 0 else 100.0)
+                  * 1.1 + 1, 8)
         for l in range(L)]
     conv_neighbors = [percentile_width(conv_hist[l]) for l in range(L)]
     pool_neighbors = [percentile_width(pool_hist[l]) for l in range(L - 1)]

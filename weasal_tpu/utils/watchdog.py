@@ -30,6 +30,30 @@ import time
 
 EXIT_STALLED = 86
 
+# faulthandler.dump_traceback_later is a process-global singleton: two live
+# watchdogs (e.g. a vote inside an active-learning training run) would
+# re-arm/cancel each other's wedge-diagnostic backstop (ADVICE r3 #4). The
+# first instance to arm it owns it; others run their kill thread only.
+_fh_lock = threading.Lock()
+_fh_owner: "StallWatchdog | None" = None
+
+
+def _fh_acquire(inst: "StallWatchdog") -> bool:
+    global _fh_owner
+    with _fh_lock:
+        if _fh_owner is None:
+            _fh_owner = inst
+        return _fh_owner is inst
+
+
+def _fh_release(inst: "StallWatchdog") -> bool:
+    global _fh_owner
+    with _fh_lock:
+        if _fh_owner is inst:
+            _fh_owner = None
+            return True
+        return False
+
 
 class StallWatchdog:
     """Hard-exit the process when no heartbeat arrives for `timeout_s`.
@@ -63,6 +87,7 @@ class StallWatchdog:
         # wedged while holding the GIL) and hard-kill us.
         self._hb_file = os.environ.get("WEASAL_HEARTBEAT_FILE")
         self._hb_touched = 0.0
+        self._fh_owned = False
         if self.timeout_s > 0:
             if self._hb_file:
                 try:
@@ -75,9 +100,12 @@ class StallWatchdog:
             # 1.5x the stall timeout — when a hang DOES slip past the
             # thread below, the dump shows where the process was wedged.
             # exit=False: reaping stays the job of _run / the outer
-            # monitor so the exit code contract (86) holds.
-            faulthandler.dump_traceback_later(self.timeout_s * 1.5,
-                                              exit=False)
+            # monitor so the exit code contract (86) holds. Armed only if
+            # no other live watchdog already owns the global timer.
+            self._fh_owned = _fh_acquire(self)
+            if self._fh_owned:
+                faulthandler.dump_traceback_later(self.timeout_s * 1.5,
+                                                  exit=False)
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
 
@@ -91,12 +119,13 @@ class StallWatchdog:
                     os.utime(self._hb_file)
                 except OSError:
                     pass
-            faulthandler.dump_traceback_later(self.timeout_s * 1.5,
-                                              exit=False)   # re-arm
+            if self._fh_owned:
+                faulthandler.dump_traceback_later(self.timeout_s * 1.5,
+                                                  exit=False)   # re-arm
 
     def stop(self) -> None:
         self._stop.set()
-        if self.timeout_s > 0:
+        if self.timeout_s > 0 and _fh_release(self):
             faulthandler.cancel_dump_traceback_later()
 
     def _run(self) -> None:
