@@ -97,3 +97,31 @@ def test_dales_fused_training_step(dales_root, dales_ds):
                          rng=np.random.default_rng(1))
     trainer.train(dales_ds, val_ds, al_iteration=0)
     assert trainer.epoch == cfg.max_epoch
+
+
+def test_dales_root_discovery(tmp_path):
+    """A root WITHOUT the reference's 40 hardcoded tile names is discovered
+    from its ply files: sorted test_* tiles form the test split, the
+    lexically last remaining tile is the validation cloud, the rest train
+    (_DALESBase.__init__; structure mirrors DALES_WeakLabel.py:64-130)."""
+    root = str(tmp_path / "DALES")
+    make_dales_like_root(root, extent=40.0, density=4.0, seed=7,
+                         train_tiles=4, test_tiles=2)
+    cfg = SynthDALESConfig()
+
+    tr = DALESWLDataset(cfg, split="training", data_root=root,
+                        rng=np.random.default_rng(0))
+    assert tr.cloud_names_split == ["tile_00", "tile_01", "tile_02"]
+    va = DALESWLDataset(cfg, split="validation", data_root=root,
+                        load_data=False)
+    assert [tr.cloud_names[i] for i in range(len(tr.cloud_names))
+            if va._in_split(i)] == ["tile_03"]
+    te = DALESWLDataset(cfg, split="test", data_root=root, load_data=False)
+    assert [te.cloud_names[i] for i in range(len(te.cloud_names))
+            if te._in_split(i)] == ["test_tile_00", "test_tile_01"]
+    tt = DALESWLDataset(cfg, split="test", test_on_train=True,
+                        data_root=root, load_data=False)
+    assert [tt.cloud_names[i] for i in range(len(tt.cloud_names))
+            if tt._in_split(i)] == ["tile_00", "tile_01", "tile_02"]
+    # per-cloud anchor ledgers: one per training cloud
+    assert len(tr.anchors) == 3 or tr.num_clouds == 3

@@ -143,6 +143,24 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
                              "80) sizes to the bulk and randomly thins the "
                              "oversized tail each visit — ~2x faster steps "
                              "on long-tailed tiles")
+    parser.add_argument("--initial_labels", type=int, default=None,
+                        help="initial weak-label anchors per file "
+                             "(config.initial_labels_per_file); the "
+                             "reference defaults assume full-size tiles "
+                             "— scale down for smaller roots")
+    parser.add_argument("--al_acquisition", default=None,
+                        choices=["entropy", "random"],
+                        help="active-learning acquisition policy: the "
+                             "reference's entropy x class-rarity ranking, "
+                             "or uniformly-random unused anchors at the "
+                             "same budget (efficacy control arm)")
+    parser.add_argument("--al_votes", type=int, default=None,
+                        help="votes per AL acquisition pass (default 10; "
+                             "2 with --preset quick — the reference votes "
+                             "10x between AL restarts)")
+    parser.add_argument("--added_labels", type=int, default=None,
+                        help="anchors added per AL acquisition "
+                             "(config.added_labels_per_epoch)")
     args = parser.parse_args(argv)
 
     config = config_cls()
@@ -184,6 +202,12 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
     for key in ("max_epoch", "epoch_steps", "validation_size"):
         if getattr(args, key) is not None:
             setattr(config, key, getattr(args, key))
+    if args.initial_labels is not None:
+        config.initial_labels_per_file = args.initial_labels
+    if args.al_acquisition is not None:
+        config.al_acquisition = args.al_acquisition
+    if args.added_labels is not None:
+        config.added_labels_per_epoch = args.added_labels
     if args.al_iterations is not None:
         apply_al_override(config, args.al_iterations)
 
@@ -221,7 +245,8 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
             test_ds = dataset_cls(config, split="test", test_on_train=True,
                                   data_root=args.data_root)
             tester = ModelTester(config, test_ds, chosen_chkp)
-            al_votes = 2 if args.preset == "quick" else 10
+            al_votes = args.al_votes if args.al_votes is not None \
+                else (2 if args.preset == "quick" else 10)
             tester.cloud_segmentation_test(test_ds, num_votes=al_votes,
                                            active_learning=True,
                                            test_on_train=True,

@@ -123,6 +123,12 @@ class Config:
     # ------------------------------------------------------------------
     # TPU-specific parameters (not in the reference)
     # ------------------------------------------------------------------
+    # Active-learning acquisition policy (train/tester.py ledgers):
+    # "entropy" = the reference's entropy x class-rarity ranking
+    # (tester_WeakLabel.py:403-474); "random" = uniformly random unused
+    # anchors/points at the SAME label budget — the control arm for
+    # measuring AL efficacy (scripts/run_al_ablation.sh).
+    al_acquisition = "entropy"
     # Precision of matmul accumulation in the KPConv path
     compute_dtype = "float32"        # 'float32' | 'bfloat16'
     # Number of data-parallel devices to shard spheres over (0 = all)
@@ -241,7 +247,8 @@ class Config:
             elif key in ("dropout", "sub_radius", "contrast_start"):
                 setattr(self, key, float(value))
             elif key in ("model_name", "loss_type", "anchor_method",
-                         "subsample_method", "weak_label_log"):
+                         "subsample_method", "weak_label_log",
+                         "al_acquisition"):
                 setattr(self, key, value)
             elif key in ("active_learning_iterations",
                          "initial_labels_per_file", "added_labels_per_epoch"):
@@ -383,3 +390,5 @@ class Config:
                 # byte-compatible with the reference loader fixtures
                 w("plan_point_percentile = "
                   f"{float(self.plan_point_percentile):.6f}\n")
+            if getattr(self, "al_acquisition", "entropy") != "entropy":
+                w(f"al_acquisition = {self.al_acquisition:s}\n")

@@ -890,11 +890,43 @@ class _DALESBase(CloudSegmentationDataset):
                    "test_5155_54335", "test_5175_54395"]
     all_splits = list(range(40))
     validation_split = 28
+    # index of the first test tile == number of train+validation tiles
+    _n_trainval = 29
+
+    def __init__(self, config, *args, data_root: Optional[str] = None,
+                 **kwargs):
+        # DALES is naturally multi-tile; the reference hardcodes its 29
+        # training / 1 validation / 11 test tile names
+        # (DALES_WeakLabel.py:64-130). Keep that list when the root
+        # contains it, but otherwise DISCOVER the layout from the root so
+        # structure-preserving smaller roots (synthetic DALES-like data,
+        # subsets) run through the identical split machinery: sorted
+        # `test_*` plys form the test split, the LAST of the remaining
+        # sorted names is the validation tile (mirroring 5190_54400, the
+        # lexically last training name in the real layout), the rest
+        # train.
+        path = data_root or join("data", self.name)
+        full_real_layout = all(
+            exists(join(path, n + ".ply")) for n in _DALESBase.cloud_names)
+        if not full_real_layout and os.path.isdir(path):
+            names = sorted(
+                f[:-4] for f in os.listdir(path)
+                if f.endswith(".ply") and os.path.isfile(join(path, f)))
+            trainval = [n for n in names if not n.startswith("test_")]
+            test = [n for n in names if n.startswith("test_")]
+            if len(trainval) >= 2 and test:
+                self.cloud_names = trainval + test
+                self.all_splits = list(range(len(self.cloud_names)))
+                self.validation_split = len(trainval) - 1
+                self._n_trainval = len(trainval)
+            # else: fall through with the real names — the base class will
+            # report the missing files with its usual errors
+        super().__init__(config, *args, data_root=data_root, **kwargs)
 
     def _test_split(self, test_on_train):
         if test_on_train:
-            return list(range(0, 28))
-        return list(range(29, 40))
+            return list(range(0, self._n_trainval - 1))
+        return list(range(self._n_trainval, len(self.cloud_names)))
 
     def _sub_has_colors(self) -> bool:
         return False

@@ -273,13 +273,28 @@ def make_dales_like_root(root: str,
                          extent: float = 80.0,
                          density: float = 4.0,
                          seed: int = 10,
-                         styled: bool = False) -> str:
+                         styled: bool = False,
+                         train_tiles: int = 0,
+                         test_tiles: int = 0) -> str:
     """Write raw DALES-format tiles (same raw field names) to root.
 
-    DALES is naturally multi-tile (29 training tiles, reference
-    DALES_WeakLabel.py:64-130) — pass more `tile_names` for bigger runs;
-    `styled=True` gives each tile a distinct district style."""
+    DALES is naturally multi-tile (29 training tiles + 1 validation + 11
+    test, reference DALES_WeakLabel.py:64-130) — pass more `tile_names`
+    for bigger runs; `styled=True` gives each tile a distinct district
+    style.
+
+    `train_tiles`/`test_tiles` > 0 instead GENERATE a structure-preserving
+    root: `train_tiles` tiles named tile_00..tile_NN plus `test_tiles`
+    named test_tile_00.. — each with its own district style. With
+    _DALESBase's root discovery the lexically last train tile becomes the
+    validation cloud (so `train_tiles` counts training + validation, like
+    the reference's 29+1).
+    """
     os.makedirs(root, exist_ok=True)
+    if train_tiles or test_tiles:
+        styled = True
+        tile_names = ([f"tile_{i:02d}" for i in range(train_tiles)]
+                      + [f"test_tile_{i:02d}" for i in range(test_tiles)])
     for i, name in enumerate(tile_names):
         path = join(root, name + ".ply")
         if os.path.exists(path):

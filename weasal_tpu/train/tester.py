@@ -439,9 +439,14 @@ class ModelTester:
     # ------------------------------------------------------------------
 
     def _extend_anchor_ledger(self, dataset, all_probs, all_pseudo_lbs):
-        """WL: add `added_labels_per_epoch` unused anchors with the highest
-        entropy x class-rarity score per training file."""
+        """WL: add `added_labels_per_epoch` unused anchors per training
+        file — ranked by entropy x class-rarity (the reference policy,
+        tester_WeakLabel.py:403-474) or uniformly at random
+        (config.al_acquisition == "random", the efficacy control arm at
+        identical label budget)."""
         config = self.config
+        random_arm = getattr(config, "al_acquisition",
+                             "entropy") == "random"
         for i, cloud_name in enumerate(dataset.cloud_names_split):
             key = cloud_name + ".ply"
             probs = all_probs[key]
@@ -457,21 +462,29 @@ class ModelTester:
             with open(sub_file, "rb") as f:
                 anchor_inds_sub = pickle.load(f)
 
-            label_sum = np.zeros(np.size(anchor_lb[0]), dtype=np.int64)
-            for label in anchor_inds_sub:
-                label_sum += anchor_lb[label]
-            class_scores = np.exp(-label_sum / len(anchor_inds_sub))
+            if random_arm:
+                # Deterministic per (cloud, ledger size): rerunning a
+                # crashed acquisition draws the same permutation.
+                r = np.random.default_rng(
+                    [len(anchor_inds_sub), i, 913])
+                sort_ids = r.permutation(len(anchors_dict))
+            else:
+                label_sum = np.zeros(np.size(anchor_lb[0]), dtype=np.int64)
+                for label in anchor_inds_sub:
+                    label_sum += anchor_lb[label]
+                class_scores = np.exp(-label_sum / len(anchor_inds_sub))
 
-            scores = np.zeros(len(anchors_dict), np.float32)
-            pseudo = all_pseudo_lbs[key]
-            for idx, a in enumerate(anchors_dict):
-                pt_ids = np.squeeze(anchors_dict[a][0])
-                ent = entropy[pt_ids]
-                weak_pred = np.zeros(np.size(anchor_lb[0]), dtype=np.int64)
-                weak_pred[np.unique(pseudo[pt_ids])] = 1
-                scores[a] = np.mean(ent) * (weak_pred @ class_scores)
+                scores = np.zeros(len(anchors_dict), np.float32)
+                pseudo = all_pseudo_lbs[key]
+                for idx, a in enumerate(anchors_dict):
+                    pt_ids = np.squeeze(anchors_dict[a][0])
+                    ent = entropy[pt_ids]
+                    weak_pred = np.zeros(np.size(anchor_lb[0]),
+                                         dtype=np.int64)
+                    weak_pred[np.unique(pseudo[pt_ids])] = 1
+                    scores[a] = np.mean(ent) * (weak_pred @ class_scores)
 
-            sort_ids = np.argsort(-scores)
+                sort_ids = np.argsort(-scores)
             used = set(int(u) for u in anchor_inds_sub)
             sort_ids = np.array([s for s in sort_ids if s not in used])
             n_add = config.added_labels_per_epoch
@@ -485,23 +498,30 @@ class ModelTester:
                   f"{len(anchor_inds_sub)} anchors")
 
     def _extend_gt_ledger(self, dataset, all_probs):
-        """PL: add `added_labels_per_epoch` points with the highest
-        entropy x class-weight score per training file."""
+        """PL: add `added_labels_per_epoch` points per training file —
+        ranked by entropy x class-weight (reference policy) or uniformly
+        at random (config.al_acquisition == "random", control arm)."""
         config = self.config
+        random_arm = getattr(config, "al_acquisition",
+                             "entropy") == "random"
         for i, cloud_name in enumerate(dataset.cloud_names_split):
             key = cloud_name + ".ply"
             probs = all_probs[key]
-            entropy = -np.sum(probs * np.log2(probs + 1e-12), axis=1)
-            class_w = np.asarray(config.class_w, np.float64)
-            class_scores = np.exp(class_w[np.argmax(probs, axis=1)])
-            combined = entropy * class_scores
 
             gt_file = join(dataset.tree_path,
                            cloud_name + "_al_groundTruth_IDs.pkl")
             with open(gt_file, "rb") as f:
                 gt_ids = pickle.load(f)
             used = set(int(u) for u in np.asarray(gt_ids).ravel())
-            sort_ids = np.argsort(-combined)
+            if random_arm:
+                r = np.random.default_rng([len(used), i, 913])
+                sort_ids = r.permutation(probs.shape[0])
+            else:
+                entropy = -np.sum(probs * np.log2(probs + 1e-12), axis=1)
+                class_w = np.asarray(config.class_w, np.float64)
+                class_scores = np.exp(class_w[np.argmax(probs, axis=1)])
+                combined = entropy * class_scores
+                sort_ids = np.argsort(-combined)
             sort_ids = np.array([s for s in sort_ids if s not in used])
             n_add = config.added_labels_per_epoch
             if len(sort_ids) < n_add:
