@@ -128,6 +128,11 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
                         help="shape-plan level-0 sizing percentile "
                              "(config.plan_point_percentile); lower than "
                              "100 thins the oversized-sphere tail")
+    parser.add_argument("--plan_buckets", type=float, default=None,
+                        help="small-sphere plan bucket percentile "
+                             "(config.plan_bucket_percentile, e.g. 80): "
+                             "small-only training batches run a second, "
+                             "smaller compiled step — nothing cropped")
     args = parser.parse_args(argv)
 
     config = config_cls()
@@ -139,6 +144,8 @@ def run_pl(config_cls, dataset_cls, stage_dir="PseudoLabel", argv=None):
         config.steps_per_dispatch = args.steps_per_dispatch
     if args.plan_percentile is not None:
         config.plan_point_percentile = args.plan_percentile
+    if args.plan_buckets is not None:
+        config.plan_bucket_percentile = args.plan_buckets
     if args.preset == "quick":
         config.in_radius = min(config.in_radius, 7.0)
         config.first_subsampling_dl = max(config.first_subsampling_dl, 0.45)

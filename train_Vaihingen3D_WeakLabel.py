@@ -161,6 +161,12 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
     parser.add_argument("--added_labels", type=int, default=None,
                         help="anchors added per AL acquisition "
                              "(config.added_labels_per_epoch)")
+    parser.add_argument("--plan_buckets", type=float, default=None,
+                        help="small-sphere plan bucket percentile "
+                             "(config.plan_bucket_percentile, e.g. 80): "
+                             "small-only training batches run a second, "
+                             "smaller compiled step — faster mean step on "
+                             "long-tailed tiles, nothing cropped")
     args = parser.parse_args(argv)
 
     config = config_cls()
@@ -172,6 +178,8 @@ def run(config_cls, dataset_cls, stage_dir="WeakLabel", argv=None):
         config.steps_per_dispatch = args.steps_per_dispatch
     if args.plan_percentile is not None:
         config.plan_point_percentile = args.plan_percentile
+    if args.plan_buckets is not None:
+        config.plan_bucket_percentile = args.plan_buckets
     if args.preset == "quick":
         config.in_radius = min(config.in_radius, 7.0)
         config.sub_radius = min(getattr(config, "sub_radius", 5), 2.5)

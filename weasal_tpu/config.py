@@ -175,6 +175,18 @@ class Config:
     # batch_limit PID packs variable sphere counts instead, SURVEY §7.1);
     # 100 keeps that round-2 behavior and stays the default.
     plan_point_percentile = 100.0
+    # Small-sphere plan bucket (data/batching.py calibrate_shape_plan,
+    # VERDICT r3 #4). 0 = off. E.g. 80: calibration additionally sizes a
+    # second, smaller set of per-level point budgets over the spheres at
+    # or below the 80th level-0-size percentile; TRAINING batches made
+    # entirely of such spheres run through a step compiled at those
+    # budgets (trainer dispatches per batch; neighbor widths, region
+    # budget and measured bands are shared). Unlike plan_point_percentile
+    # this crops NOTHING — large spheres keep the full-size program — so
+    # the val-mIoU trajectory is unchanged by construction while the mean
+    # step cost drops toward the bucket-weighted mean of the two program
+    # sizes. Validation/voting always use the full-size plan.
+    plan_bucket_percentile = 0.0
     # Stall watchdog (weasal_tpu/utils/watchdog.py): hard-exit with code
     # 86 when a training/voting loop makes no progress for this many
     # seconds, so a wrapper can resume from the per-epoch checkpoint. The
@@ -392,3 +404,6 @@ class Config:
                   f"{float(self.plan_point_percentile):.6f}\n")
             if getattr(self, "al_acquisition", "entropy") != "entropy":
                 w(f"al_acquisition = {self.al_acquisition:s}\n")
+            if float(getattr(self, "plan_bucket_percentile", 0.0)) > 0.0:
+                w("plan_bucket_percentile = "
+                  f"{float(self.plan_bucket_percentile):.6f}\n")

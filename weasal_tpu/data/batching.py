@@ -48,10 +48,39 @@ class ShapePlan:
     # observed per-tile spreads at calibration time
     # (ops/pyramid.measure_bands). None = analytic auto_band fallback.
     bands: Optional[Dict[str, Dict[str, List[int]]]] = None
+    # Optional small-sphere bucket (config.plan_bucket_percentile > 0):
+    # {"num_points": [N_l], "cut": int}. Real tiles have long-tailed
+    # sphere sizes (mean ~1/3 of max on the 1.9M-point quality tile), so a
+    # p100-only plan runs ~50% shadow rows on the average batch. Training
+    # batches whose every sphere has <= `cut` level-0 points run through a
+    # second compiled step sized at these budgets instead — no points are
+    # cropped (unlike plan_point_percentile thinning), so quality is
+    # identical by construction; the reference gets the same effect with
+    # variable spheres-per-batch under a point budget
+    # (Vaihingen3D_WeakLabel.py:1154-1257).
+    small: Optional[Dict] = None
 
     @property
     def num_layers(self) -> int:
         return len(self.num_points)
+
+    def derive_small(self) -> Optional["ShapePlan"]:
+        """ShapePlan for the small bucket: per-level point budgets from
+        `small`, everything else — neighbor widths, region budget, measured
+        BANDS (shared by reference, so trainer band self-tuning widens both
+        plans at once) — inherited. Bands are upper bounds in sorted-row
+        units; windows measured on the full sphere population remain valid
+        (merely generous) for small spheres."""
+        if not self.small:
+            return None
+        return ShapePlan(num_points=list(self.small["num_points"]),
+                         conv_neighbors=self.conv_neighbors,
+                         pool_neighbors=self.pool_neighbors,
+                         up_neighbors=self.up_neighbors,
+                         max_regions=self.max_regions,
+                         max_region_points=self.max_region_points,
+                         bands=self.bands,
+                         small=None)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -210,6 +239,7 @@ def calibrate_shape_plan(sphere_point_clouds: Sequence[np.ndarray],
                          point_percentile: float = 100.0,
                          region_budget: Tuple[int, int] = (0, 0),
                          rng: Optional[np.random.Generator] = None,
+                         bucket_percentile: float = 0.0,
                          ) -> ShapePlan:
     """Choose static budgets from sampled spheres.
 
@@ -217,7 +247,14 @@ def calibrate_shape_plan(sphere_point_clouds: Sequence[np.ndarray],
       and rounded up to a multiple of 8 (sublane-friendly);
     - K_l: the neighbor count that keeps `untouched_ratio` of neighborhoods
       uncropped (same rule as the reference's neighborhood_limits,
-      Vaihingen3D_WeakLabel.py:1280-1283).
+      Vaihingen3D_WeakLabel.py:1280-1283);
+    - `bucket_percentile` in (0, 100): additionally size a small-sphere
+      bucket (`plan.small`) — per-level p100 budgets over the subset of
+      calibration spheres whose level-0 count is at or below that
+      percentile, plus the level-0 `cut` that routes a sampled sphere into
+      the bucket. Upper levels are sized from the SUBSET's own counts
+      (voxel occupancy does not scale linearly with level-0 size, ADVICE
+      r3 #5), not scaled down proportionally.
     """
     rng = rng or np.random.default_rng(0)
     L = config.num_layers
@@ -254,10 +291,28 @@ def calibrate_shape_plan(sphere_point_clouds: Sequence[np.ndarray],
         for l in range(L)]
     conv_neighbors = [percentile_width(conv_hist[l]) for l in range(L)]
     pool_neighbors = [percentile_width(pool_hist[l]) for l in range(L - 1)]
+
+    small = None
+    if 0.0 < bucket_percentile < 100.0:
+        counts0 = np.asarray(counts[0])
+        cut = int(np.percentile(counts0, bucket_percentile))
+        in_bucket = counts0 <= cut
+        # Degenerate distributions (uniform synthetic demo spheres) can
+        # put everything in one bucket — then there is nothing to gain
+        if 0 < int(in_bucket.sum()) < len(counts0):
+            small_points = []
+            for l in range(L):
+                sub = np.asarray(counts[l])[in_bucket]
+                small_points.append(_round_up(sub.max() * 1.1 + 1, 8))
+            # Every sphere routed by `cut` must fit the bucket's level 0
+            small_points[0] = max(small_points[0], _round_up(cut + 1, 8))
+            if small_points[0] < num_points[0]:
+                small = {"num_points": small_points, "cut": cut}
     return ShapePlan(num_points=num_points, conv_neighbors=conv_neighbors,
                      pool_neighbors=pool_neighbors,
                      max_regions=region_budget[0],
-                     max_region_points=region_budget[1])
+                     max_region_points=region_budget[1],
+                     small=small)
 
 
 def assemble_classification_batch(clouds: Sequence[Dict],

@@ -657,6 +657,9 @@ class CloudSegmentationDataset:
         pct = float(getattr(cfg, "plan_point_percentile", 100.0))
         if pct != 100.0:   # suffix only when non-default: old caches stay valid
             key += "_p{:g}".format(pct)
+        bkt = float(getattr(cfg, "plan_bucket_percentile", 0.0))
+        if bkt > 0.0:
+            key += "_b{:g}".format(bkt)
         return key
 
     def save_plan(self, plan: ShapePlan) -> None:
@@ -713,7 +716,9 @@ class CloudSegmentationDataset:
             clouds, cfg, untouched_ratio=untouched_ratio,
             point_percentile=float(getattr(cfg, "plan_point_percentile",
                                            100.0)),
-            region_budget=r_budget, rng=rng)
+            region_budget=r_budget, rng=rng,
+            bucket_percentile=float(getattr(cfg, "plan_bucket_percentile",
+                                            0.0)))
         if self._bands_wanted():
             plan.bands = self._measure_plan_bands(plan, clouds, rng)
         self.save_plan(plan)

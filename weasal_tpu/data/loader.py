@@ -110,7 +110,11 @@ class BatchPrefetcher:
 
     def _produce(self):
         try:
-            buf, buf_metas = [], []
+            # Per-bucket buffers: with a size-bucketed source (resident
+            # plan.small), batches of different static shapes must never
+            # share one stacked scan pack — each bucket fills its own
+            # buffer (metas carry the tag; "large" when unbucketed).
+            bufs = {}
             for _ in range(self.num_batches):
                 batch, metas = self.dataset.next_batch(
                     self.rng, self.plan, num_spheres=self.num_spheres,
@@ -124,13 +128,16 @@ class BatchPrefetcher:
                     raise TypeError(
                         "pack > 1 requires dict batches "
                         "(resident/level0 sources)")
+                tag = metas[0].get("bucket", "large") if metas else "large"
+                buf, buf_metas = bufs.setdefault(tag, ([], []))
                 buf.append(batch)
                 buf_metas.append(metas)
                 if len(buf) == self.pack:
                     self._queue.put(self._emit_pack(buf, buf_metas))
-                    buf, buf_metas = [], []
-            if buf:
-                self._queue.put(self._emit_pack(buf, buf_metas))
+                    bufs.pop(tag)
+            for buf, buf_metas in bufs.values():
+                if buf:
+                    self._queue.put(self._emit_pack(buf, buf_metas))
         except BaseException as e:                     # surface in consumer
             self._error = e
         finally:

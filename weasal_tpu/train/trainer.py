@@ -213,7 +213,23 @@ class ModelTrainer:
             os.makedirs(config.saving_path, exist_ok=True)
             config.save()
 
+        # Size buckets (plan.small, VERDICT r3 #4): a second train step
+        # compiled at the small-sphere budgets; batches are bucket-
+        # homogeneous (resident source groups them), dispatch picks the
+        # step by the batch's tag. Training only — validation/eval and
+        # the single-step contract (self._train_step) stay on the full
+        # plan.
+        self._step_cores = {}
+        self.plan_small = (self.plan.derive_small()
+                           if self._resident_spec is not None else None)
         self._train_step = self._build_train_step()
+        self._train_steps = {"large": self._train_step}
+        if self.plan_small is not None:
+            self._train_steps["small"] = self._build_train_step(
+                self.plan_small, tag="small")
+            print("Shape-plan small bucket: level-0 cut "
+                  f"{self.plan.small['cut']} pts, budgets "
+                  f"{self.plan_small.num_points} vs {self.plan.num_points}")
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------
@@ -226,7 +242,7 @@ class ModelTrainer:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def _build_train_step(self):
+    def _build_train_step(self, plan_override=None, tag: str = "large"):
         model, mode, config = self.model, self.mode, self.config
         loss_type = getattr(config, "loss_type", "region_mprm_loss")
         class_w = self.class_w
@@ -235,7 +251,7 @@ class ModelTrainer:
         contrast_thd = float(getattr(config, "contrast_thd", 20)) / 100.0
         num_classes = config.num_classes
         device_pyramid = bool(getattr(config, "device_pyramid", False))
-        plan = self.plan
+        plan = plan_override or self.plan
         spec = self._resident_spec
 
         def step_core(state: TrainState, batch, lr, dropout_rng,
@@ -348,10 +364,10 @@ class ModelTrainer:
                                       opt_state=new_opt)
             return new_state, out_loss, reg_loss, acc, drops
 
-        self._step_core = step_core
+        self._step_cores[tag] = step_core
         return partial(jax.jit, static_argnames=("use_contrast",))(step_core)
 
-    def _build_train_step_scan(self):
+    def _build_train_step_scan(self, tag: str = "large"):
         """K packed steps per dispatch: one jitted lax.scan over a stacked
         [K, ...] batch dict (VERDICT r2 #3 — through the remote tunnel each
         dispatch costs ~40-50 ms of host latency; the resident path's index
@@ -361,7 +377,7 @@ class ModelTrainer:
         arrive pre-split in host order, tail-padding slices carry
         do_step=False and their state update / telemetry is masked out.
         """
-        step_core = self._step_core
+        step_core = self._step_cores[tag]
 
         @partial(jax.jit, static_argnames=("use_contrast",))
         def train_step_k(state: TrainState, packed, lr, rngs,
@@ -496,9 +512,19 @@ class ModelTrainer:
         # Bands are trace-time constants of the jitted steps (static args
         # of _build_pyramid, closure of model.apply): rebuild so the wider
         # windows take effect. One extra compile per firing — rare, loud.
+        # (The small bucket shares the same bands dict by reference, so
+        # both plans see the widened rows.)
         self._train_step = self._build_train_step()
+        self._train_steps = {"large": self._train_step}
+        if self.plan_small is not None:
+            self._train_steps["small"] = self._build_train_step(
+                self.plan_small, tag="small")
         if getattr(self, "_train_step_scan", None) is not None:
             self._train_step_scan = self._build_train_step_scan()
+            self._train_step_scans = {
+                t: (self._train_step_scan if t == "large"
+                    else self._build_train_step_scan(t))
+                for t in self._train_steps}
         self._eval_step = self._build_eval_step()
         return True
 
@@ -592,7 +618,8 @@ class ModelTrainer:
                 # Clouds live on device; the host ships indices + params
                 from weasal_tpu.data.resident import ResidentBatchSource
                 batch_source = ResidentBatchSource(
-                    train_dataset, self.plan, mesh=self.mesh)
+                    train_dataset, self.plan, mesh=self.mesh,
+                    bucketed=self.plan_small is not None)
                 extra_arrays = batch_source.resident.arrays
             else:
                 # Fused path: the host only pads level-0 arrays; the
@@ -621,6 +648,12 @@ class ModelTrainer:
             self._train_step_scan = getattr(
                 self, "_train_step_scan", None) or \
                 self._build_train_step_scan()
+            scans = getattr(self, "_train_step_scans", None) or {
+                "large": self._train_step_scan}
+            for t in self._train_steps:
+                if t not in scans:
+                    scans[t] = self._build_train_step_scan(t)
+            self._train_step_scans = scans
             if self.mesh is not None:
                 from weasal_tpu.parallel.mesh import packed_batch_sharding
                 sharding = packed_batch_sharding(self.mesh)
@@ -708,8 +741,12 @@ class ModelTrainer:
                         if loop_stats is not None:
                             loop_stats["rng"] += time.perf_counter() - _tr
                             _tr = time.perf_counter()
+                        tag = (metas[0].get("bucket", "large")
+                               if metas else "large")
+                        step_fn = self._train_steps.get(
+                            tag, self._train_step)
                         (self.state, out_loss, reg_loss, acc,
-                         drops) = self._train_step(
+                         drops) = step_fn(
                             self.state, batch, jnp.float32(self.lr), sub,
                             use_contrast=use_contrast)
                         n_real = 1
@@ -727,8 +764,12 @@ class ModelTrainer:
                         if loop_stats is not None:
                             loop_stats["rng"] += time.perf_counter() - _tr
                             _tr = time.perf_counter()
+                        tag = (metas[0][0].get("bucket", "large")
+                               if metas and metas[0] else "large")
+                        scan_fn = self._train_step_scans.get(
+                            tag, self._train_step_scan)
                         (self.state, out_loss, reg_loss, acc,
-                         drops) = self._train_step_scan(
+                         drops) = scan_fn(
                             self.state, batch, jnp.float32(self.lr),
                             subs, use_contrast=use_contrast)
                     if loop_stats is not None:
