@@ -75,21 +75,22 @@ while :; do
     STALL_KILLED=0
     while kill -0 "$CHILD" 2>/dev/null; do
         sleep "$MONITOR_INTERVAL_S"
-        # The stall kill arms only once the child has beaten at least once
-        # (heartbeat mtime moved past the wrapper's own initial touch) —
-        # a child with its in-process watchdog disabled, or one with a
-        # long pre-first-beat phase (cold compiles), must not be killed
-        # while making progress (ADVICE r3 #3). The RSS guard below stays
-        # armed throughout.
-        HB_ARMED=0
+        # Before the child's first beat (heartbeat mtime past the
+        # wrapper's own initial touch) the kill threshold is 3x — a long
+        # pre-first-beat phase (cold compiles through the tunnel on a
+        # contended host) must not be killed while making progress
+        # (ADVICE r3 #3), but a child wedged from birth must still die
+        # eventually. After the first beat, the normal threshold. The
+        # RSS guard below stays armed throughout.
+        KILL_S=$STALL_KILL_S
         if [ "$(stat -c %Y "$HB" 2>/dev/null || echo "$HB_INIT_MTIME")" \
-             -gt "$HB_INIT_MTIME" ]; then
-            HB_ARMED=1
+             -le "$HB_INIT_MTIME" ]; then
+            KILL_S=$((3 * STALL_KILL_S))
         fi
-        if [ "$HB_ARMED" -eq 1 ] && [ "$(age)" -gt "$STALL_KILL_S" ] \
+        if [ "$(age)" -gt "$KILL_S" ] \
            && kill -0 "$CHILD" 2>/dev/null
         then
-            echo "resumable.sh: heartbeat stale >$STALL_KILL_S s and the" \
+            echo "resumable.sh: heartbeat stale >$KILL_S s and the" \
                  "in-process watchdog did not fire; kill -9 group $CHILD" >&2
             kill -9 -- "-$CHILD" 2>/dev/null || kill -9 "$CHILD" 2>/dev/null
             STALL_KILLED=1
@@ -122,27 +123,35 @@ while :; do
         fi
         kind="crashed rc=$rc (crash retry $crash/$CRASH_RETRIES)"
     fi
-    # Resolve the resume target ONCE, then freeze it (ADVICE r3 #1): prefer
-    # a log created/updated after this wrapper started (the child's own);
-    # fall back to the newest pre-existing log only when the child resumed
-    # an older run (e.g. test_models.py voting into the training log).
-    if [ -z "$PINNED_LOG" ]; then
-        PINNED_LOG=$(find "$STAGE_DIR" -maxdepth 1 -name 'Log_*' \
-                         -newermt "@$WRAPPER_START" 2>/dev/null \
-                     | sort | tail -1)
-        if [ -z "$PINNED_LOG" ]; then
-            PINNED_LOG=$(ls -d "$STAGE_DIR"/Log_* 2>/dev/null \
-                         | sort | tail -1)
-            if [ -n "$PINNED_LOG" ]; then
-                echo "resumable.sh: no log newer than wrapper start;" \
-                     "pinning pre-existing $PINNED_LOG" >&2
+    # Resolve the resume target per retry. An explicit RESUME_LOG env pin
+    # always wins (ADVICE r3 #1 — vote stages resume into the training
+    # log, whose marker is a vote_chkp_*.pkl, not a trainer checkpoint).
+    # Otherwise prefer the NEWEST log created after this wrapper started
+    # that actually contains a restorable trainer checkpoint — a child
+    # log that stalled/crashed before its first epoch completed has no
+    # checkpoints/current_chkp.tar, and resuming from it crash-loops
+    # (observed: PL resume, round 4). When no candidate qualifies, rerun
+    # with the ORIGINAL arguments — if they carried a --resume it still
+    # points at the last known-good log.
+    if [ -n "$PINNED_LOG" ]; then
+        TARGET_LOG=$PINNED_LOG
+    else
+        TARGET_LOG=""
+        for cand in $(find "$STAGE_DIR" -maxdepth 1 -name 'Log_*' \
+                          -newermt "@$WRAPPER_START" 2>/dev/null \
+                      | sort -r) \
+                    $(ls -d "$STAGE_DIR"/Log_* 2>/dev/null | sort -r); do
+            if [ -f "$cand/checkpoints/current_chkp.tar" ]; then
+                TARGET_LOG=$cand
+                break
             fi
-        fi
+        done
     fi
-    if [ $RESUME_SUPPORTED -eq 0 ] || [ -z "$PINNED_LOG" ]; then
-        echo "resumable.sh: $kind; rerunning" >&2
+    if [ $RESUME_SUPPORTED -eq 0 ] || [ -z "$TARGET_LOG" ]; then
+        echo "resumable.sh: $kind; rerunning with original args" >&2
+        RESUME_ARGS=()
         continue
     fi
-    echo "resumable.sh: $kind; resuming from $PINNED_LOG" >&2
-    RESUME_ARGS=(--resume "$PINNED_LOG")   # replace, don't accumulate
+    echo "resumable.sh: $kind; resuming from $TARGET_LOG" >&2
+    RESUME_ARGS=(--resume "$TARGET_LOG")   # replace, don't accumulate
 done

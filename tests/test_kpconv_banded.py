@@ -70,7 +70,7 @@ class TestBandedKPConv:
         nb = jnp.asarray(nb_np)
 
         out, oob = kpconv_banded_pallas(q, s, nb, x, kpts, w, 0.7,
-                                        "linear", 128, 128, True)
+                                        "linear", 128, 128, True, True)
         assert float(oob[0]) > 0
 
         # Reference: replace out-of-band entries with the shadow index
@@ -97,14 +97,14 @@ class TestBandedKPConv:
         params = KPConvParams(kp_extent=0.7)
         expected, _ = kpconv(q, s, nb, x, kpts, w, params)
         got, oob = kpconv_banded_pallas(q, s, nb, x, kpts, w, 0.7,
-                                        "linear", 128, 128, True)
+                                        "linear", 128, 128, True, True)
         assert float(oob[0]) == 0.0
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=2e-4, atol=2e-4)
 
         def loss(x, w):
             return jnp.sum(kpconv_banded_pallas(
-                q, s, nb, x, kpts, w, 0.7, "linear", 128, 128, True)[0]
+                q, s, nb, x, kpts, w, 0.7, "linear", 128, 128, True, True)[0]
                 ** 2)
 
         def loss_ref(x, w):
@@ -150,6 +150,37 @@ class TestBandedKPConv:
             pal._replace(aggregation="closest"), 64, 64)
         off = KPConvParams(kp_extent=0.5, use_pallas=False)
         assert not pallas_eligible(off, 64, 64)
+
+    def test_pblk_skip_matches_unskipped(self):
+        """The per-kernel-point block-range skip is semantics-neutral:
+        outputs and grads with pblk_skip on == off (which is itself
+        pinned to the XLA oracle by the tests above), for every
+        influence mode. Local neighbor structure gives the ranges real
+        sub-spans to skip (rather than full windows)."""
+        rng = np.random.default_rng(21)
+        q, s, nb, x, kpts, w = _problem(rng, b=2, n_q=128, n_s=512, k=7,
+                                        local=True)
+        for influence in ("linear", "constant", "gaussian"):
+            def loss(x, w, skip):
+                out, _ = kpconv_banded(q, s, nb, x, kpts, w, 0.7,
+                                       influence=influence,
+                                       interpret=True, pblk_skip=skip)
+                return jnp.sum(out ** 2), out
+
+            (l_on, o_on), (l_off, o_off) = (loss(x, w, True),
+                                            loss(x, w, False))
+            np.testing.assert_allclose(np.asarray(o_on),
+                                       np.asarray(o_off),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=influence)
+            g_on = jax.grad(lambda x, w: loss(x, w, True)[0],
+                            argnums=(0, 1))(x, w)
+            g_off = jax.grad(lambda x, w: loss(x, w, False)[0],
+                             argnums=(0, 1))(x, w)
+            for a, b_ in zip(g_on, g_off):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                           rtol=1e-6, atol=1e-6,
+                                           err_msg=influence)
 
     def test_kpconv_dispatch_returns_oob(self):
         rng = np.random.default_rng(2)

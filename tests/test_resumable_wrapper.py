@@ -24,9 +24,13 @@ def _fake_cmd(tmp_path, body):
     return str(path)
 
 
-def _stage(tmp_path):
+def _stage(tmp_path, checkpoint=True):
     d = tmp_path / "stage" / "Log_a"
     d.mkdir(parents=True)
+    if checkpoint:
+        # Resume candidates must hold a restorable trainer checkpoint
+        (d / "checkpoints").mkdir()
+        (d / "checkpoints" / "current_chkp.tar").write_bytes(b"")
     return str(tmp_path / "stage")
 
 
@@ -47,6 +51,44 @@ echo run2 "$@"; exit 0
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert "run1 --foo\n" in r.stdout
     assert "run2 --foo --resume" in r.stdout          # resume arg appended
+
+
+def test_checkpointless_log_is_not_a_resume_target(tmp_path):
+    """A log dir without checkpoints/current_chkp.tar (the child died
+    before its first epoch completed) must not be picked as the retry
+    target — the retry reruns with the ORIGINAL args, whose own --resume
+    still points at the last good log. Regression: round-4 PL resume
+    crash-looped on FileNotFoundError resuming its own checkpointless
+    log."""
+    marker = tmp_path / "marker"
+    stage = _stage(tmp_path, checkpoint=False)
+    # the child "creates" a new log (no checkpoint) then stalls once
+    cmd = _fake_cmd(tmp_path, f"""
+mkdir -p {stage}/Log_b
+if [ ! -f {marker} ]; then touch {marker}; echo run1 "$@"; exit 86; fi
+echo run2 "$@"; exit 0
+""")
+    r = _run([stage, cmd, "--resume", "orig_log"])
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "run2 --resume orig_log\n" in r.stdout     # original args kept
+    assert "rerunning with original args" in r.stderr
+
+
+def test_retry_follows_newest_checkpointed_log(tmp_path):
+    """When the child's own new log HAS a checkpoint, the retry resumes
+    from it (not from the older pre-existing log) so completed epochs
+    are not lost."""
+    marker = tmp_path / "marker"
+    stage = _stage(tmp_path)
+    cmd = _fake_cmd(tmp_path, f"""
+mkdir -p {stage}/Log_z/checkpoints
+touch {stage}/Log_z/checkpoints/current_chkp.tar
+if [ ! -f {marker} ]; then touch {marker}; exit 86; fi
+echo run2 "$@"; exit 0
+""")
+    r = _run([stage, cmd])
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "run2 --resume " + stage + "/Log_z" in r.stdout
 
 
 def test_no_resume_arg_reruns_unchanged(tmp_path):

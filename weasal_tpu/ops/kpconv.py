@@ -51,6 +51,7 @@ class KPConvParams(NamedTuple):
     use_pallas: bool = False         # fused Pallas kernel (rigid sum only)
     pallas_interpret: bool = False   # interpreter mode (CPU testing)
     pallas_band: int = 0             # banded kernel half-window W (0=auto)
+    pallas_pblk_skip: bool = True    # exact per-kernel-point block skip
     radius: float = 0.0              # conv radius (m) for auto banding
     in_radius: float = 0.0           # sphere radius (m) for auto banding
     sort_margin: float = 0.0         # spatial-sort slack (level voxel, m)
@@ -158,7 +159,8 @@ def kpconv(q_pts: jnp.ndarray,
             q_pts, s_pts, neighb_inds, x, kernel_points, weights,
             kp_extent=params.kp_extent, influence=params.influence,
             band=_pallas_band(params, q_pts.shape[1], x.shape[1]),
-            interpret=params.pallas_interpret)
+            interpret=params.pallas_interpret,
+            pblk_skip=params.pallas_pblk_skip)
         if return_oob:
             return out, None, oob
         return out, None

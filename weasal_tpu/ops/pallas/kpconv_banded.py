@@ -38,6 +38,23 @@ see ops/pallas/radius_pallas.auto_band). The `band` parameter keeps its
 half-window meaning W: the window guarantees coverage of spans <= W+1,
 identical to the two-block scheme, so callers and tests are unchanged.
 
+Per-kernel-point sub-windows (pblk_skip, round 4): the kernels are
+VPU-bound on the per-(p, block) influence rebuild, and measured column
+occupancy (scripts/probe_kp_occupancy.py) shows each kernel point's
+ACTIVE columns (membership AND influence > 0) cover only a ~60-67%
+contiguous sub-span of the occupied blocks — the offset ball of kernel
+point p only intersects part of the tile's sorted support span. A cheap
+XLA precompute (evaluating influence only at the real neighbor pairs —
+K*P ops/row vs the kernel's Q*P) derives an exact per-(tile, p) active
+block range [lo, hi), shipped as a second scalar-prefetch operand; the
+kernel wraps each (p, block) influence build + matmul in
+`pl.when(lo <= j < hi)`. Skipping is exact: outside the range A_p is
+all-zero by construction (for 'linear', distance-inactive pairs; for
+'constant'/'gaussian', membership-zero pairs — the range is then
+membership-derived). A 1e-3 relative extent margin in the precompute
+absorbs the separable expansion's f32 cancellation error at the
+influence boundary.
+
 Precision: membership, geometry, influence and all accumulation are
 f32; matmul INPUTS are bf16 on hardware. This matches the XLA conv
 path under either compute_dtype setting — the platform compiles with
@@ -93,6 +110,71 @@ def _oob_count(nb, start_row, n_support, width):
         oob += ((idx < n_support)
                 & ((rel < 0) | (rel >= width))).astype(jnp.float32)
     return oob
+
+
+def _pblk_ranges(q2, nb2, s2, starts2, kernel_points, kp_extent: float,
+                 influence: str, n_support: int, ns_pad: int, n_win: int):
+    """Exact per-(tile, kernel point) active block sub-range, packed.
+
+    For every 128-query tile and kernel point p, the window blocks j
+    whose columns can contribute a nonzero A_p entry form a contiguous
+    range [lo_p, hi_p) (measured: scripts/probe_kp_occupancy.py — active
+    blocks are contiguous in the sorted support order, p50 span 60-67% of
+    the occupied blocks). Activity is evaluated only at the real neighbor
+    pairs (K*P ops per row — ~3% of the in-kernel Q*P rebuild this
+    gates): a pair activates p iff it is a valid (non-shadow) neighbor
+    and, for 'linear' influence, lies within kp_extent of kernel point p
+    (with a 1e-3 relative margin absorbing the kernel's separable-
+    expansion cancellation error at the boundary). For 'constant' and
+    'gaussian' the influence factor is nonzero wherever membership is,
+    so the range is membership-derived (p-independent).
+
+    Returns int32 [G, P] with lo*256 + hi; an empty range packs to
+    n_win*256 + 0, which no block index satisfies.
+    """
+    k_width = nb2.shape[1]
+    p = kernel_points.shape[0]
+    b = s2.shape[0] // ns_pad
+    g = starts2.shape[0]
+    n_tiles = g // b
+    tile_rows = nb2.shape[0] // g
+    nb3 = nb2.reshape(b, n_tiles * tile_rows, k_width)
+    valid = nb3 < n_support                              # [B, NQ', K]
+    idx_cap = jnp.minimum(nb3, ns_pad - 1)
+    if influence == "linear":
+        # One flat fused row gather of support coords (3 channels only —
+        # the feature gather this kernel exists to avoid is Cin-wide).
+        offs = (jnp.arange(b, dtype=jnp.int32) * ns_pad)[:, None, None]
+        sg = jnp.take(s2, (idx_cap + offs).reshape(-1), axis=0)
+        sg = sg.reshape(b, n_tiles * tile_rows, k_width, 3)
+        q3 = q2.reshape(b, n_tiles * tile_rows, 3)
+        rel = sg - q3[:, :, None, :]                     # [B, NQ', K, 3]
+        diffs = rel[:, :, :, None, :] - kernel_points[None, None, None]
+        d2 = jnp.sum(diffs * diffs, axis=-1)             # [B, NQ', K, P]
+        ext = kp_extent * (1.0 + 1e-3)
+        act = valid[..., None] & (d2 < ext * ext)
+    else:
+        act = jnp.broadcast_to(valid[..., None], valid.shape + (p,))
+    # Window-relative block of each neighbor; out-of-window neighbors
+    # (dropped + counted by the kernel) clip into the range, which can
+    # only widen it — conservative, never incorrect.
+    relb = (idx_cap // QUANTUM).reshape(b, n_tiles, tile_rows, k_width)
+    relb = relb - starts2.reshape(b, n_tiles)[:, :, None, None]
+    relb = jnp.clip(relb, 0, n_win - 1)[..., None]       # [..., K, 1]
+    act_r = act.reshape(b, n_tiles, tile_rows, k_width, p)
+    lo = jnp.min(jnp.where(act_r, relb, n_win), axis=(2, 3))
+    hi = jnp.max(jnp.where(act_r, relb + 1, 0), axis=(2, 3))
+    return (lo * 256 + hi).astype(jnp.int32).reshape(g, p)
+
+
+def _pblk_bounds(ranges_ref, i, kp):
+    """Unpack the tile's per-p block ranges into scalar (lo, hi) lists."""
+    los, his = [], []
+    for p in range(kp):
+        rg = ranges_ref[i, p]
+        los.append(rg // 256)
+        his.append(rg % 256)
+    return los, his
 
 
 def _tile_geometry(q, kp_ref, kp):
@@ -162,9 +244,9 @@ def _block_a_sep(cross, srow, sn, qa_p, kp_ref, p, m32, m32e,
     raise ValueError(f"Unknown influence mode: {influence}")
 
 
-def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
+def _fwd_kernel(starts_ref, ranges_ref, q_ref, nb_ref, *refs,
                 kp_extent: float, influence: str, n_support: int,
-                mxu_dtype, n_win: int):
+                mxu_dtype, n_win: int, pblk_skip: bool):
     s_refs = refs[:n_win]
     x_refs = refs[n_win:2 * n_win]
     kp_ref, w_ref, out_ref, oob_ref, y_ref = refs[2 * n_win:]
@@ -178,6 +260,8 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
     oob_ref[:] = _oob_count(nb, start_row, n_support, n_win * QUANTUM)
     y_ref[:] = jnp.zeros_like(y_ref)
     qm2, qa = _tile_geometry(q, kp_ref, kp)
+    if pblk_skip:
+        los, his = _pblk_bounds(ranges_ref, i, kp)
 
     for j in range(n_win):
         block_start = start_row + j * QUANTUM
@@ -189,11 +273,16 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
             m32e = m32 * (1.0 / kp_extent)
             x_j = x_refs[j][:].astype(mxu_dtype)
             for p in range(kp):
-                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
-                                 m32, m32e, kp_extent,
-                                 influence).astype(mxu_dtype)
-                y_ref[p] += jnp.dot(a, x_j,
-                                    preferred_element_type=jnp.float32)
+                def _apply(p=p):
+                    a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
+                                     m32, m32e, kp_extent,
+                                     influence).astype(mxu_dtype)
+                    y_ref[p] += jnp.dot(a, x_j,
+                                        preferred_element_type=jnp.float32)
+                if pblk_skip:
+                    pl.when((j >= los[p]) & (j < his[p]))(_apply)
+                else:
+                    _apply()
 
     acc = None
     for p in range(kp):
@@ -203,9 +292,9 @@ def _fwd_kernel(starts_ref, q_ref, nb_ref, *refs,
     out_ref[:] = acc
 
 
-def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
+def _bwd_kernel(starts_ref, ranges_ref, q_ref, nb_ref, *refs,
                 kp_extent: float, influence: str, n_support: int,
-                mxu_dtype, n_win: int, n_tiles: int):
+                mxu_dtype, n_win: int, n_tiles: int, pblk_skip: bool):
     """Fused backward: one A build per (block, kernel point) serves both
     dX (accumulated into the per-sphere slab — no scatter) and dW."""
     s_refs = refs[:n_win]
@@ -229,6 +318,8 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
     gm = g_ref[:].astype(mxu_dtype)
     y_ref[:] = jnp.zeros_like(y_ref)
     qm2, qa = _tile_geometry(q, kp_ref, kp)
+    if pblk_skip:
+        los, his = _pblk_bounds(ranges_ref, i, kp)
 
     # dr_p = g @ W_p^T is block-independent: compute once per tile
     dr = [jnp.dot(gm, w_ref[p].T, preferred_element_type=jnp.float32)
@@ -245,13 +336,18 @@ def _bwd_kernel(starts_ref, q_ref, nb_ref, *refs,
             x_j = x_refs[j][:].astype(mxu_dtype)
             sl = pl.ds(block_start, QUANTUM)
             for p in range(kp):
-                a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
-                                 m32, m32e, kp_extent,
-                                 influence).astype(mxu_dtype)
-                dx_ref[sl, :] += jnp.dot(
-                    a.T, dr[p], preferred_element_type=jnp.float32)
-                y_ref[p] += jnp.dot(a, x_j,
-                                    preferred_element_type=jnp.float32)
+                def _apply(p=p):
+                    a = _block_a_sep(cross, srow, sn, qa[p], kp_ref, p,
+                                     m32, m32e, kp_extent,
+                                     influence).astype(mxu_dtype)
+                    dx_ref[sl, :] += jnp.dot(
+                        a.T, dr[p], preferred_element_type=jnp.float32)
+                    y_ref[p] += jnp.dot(a, x_j,
+                                        preferred_element_type=jnp.float32)
+                if pblk_skip:
+                    pl.when((j >= los[p]) & (j < his[p]))(_apply)
+                else:
+                    _apply()
 
     for p in range(kp):
         dw_ref[p] += jnp.dot(y_ref[p].T.astype(mxu_dtype), gm,
@@ -291,14 +387,15 @@ def _prep(q_pts, s_pts, neighb_inds, x, n_win, tile):
 
 
 def _window_specs(tile, k_width, cin, n_win, n_tiles, n_blocks):
-    """BlockSpecs for (q, nb, s_0..s_{n-1}, x_0..x_{n-1})."""
+    """BlockSpecs for (q, nb, s_0..s_{n-1}, x_0..x_{n-1}). Index maps
+    receive both scalar-prefetch refs (window starts, per-p ranges)."""
     def block_map(j):
-        return lambda i, st: ((i // n_tiles) * n_blocks + st[i] + j, 0)
+        return lambda i, st, rg: ((i // n_tiles) * n_blocks + st[i] + j, 0)
 
     specs = [
-        pl.BlockSpec((tile, 3), lambda i, st: (i, 0),
+        pl.BlockSpec((tile, 3), lambda i, st, rg: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, k_width), lambda i, st: (i, 0),
+        pl.BlockSpec((tile, k_width), lambda i, st, rg: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     specs += [pl.BlockSpec((QUANTUM, 3), block_map(j),
@@ -313,10 +410,11 @@ def _kp_spec(kp):
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def kpconv_banded_pallas(q_pts, s_pts, neighb_inds, x, kernel_points,
                          weights, kp_extent: float, influence: str,
-                         band: int, tile: int, interpret: bool):
+                         band: int, tile: int, interpret: bool,
+                         pblk_skip: bool):
     """Gatherless banded rigid KPConv over a dense sphere batch.
 
     :param q_pts: [B, Nq, 3]; s_pts: [B, Ns, 3] (spatially sorted for
@@ -330,12 +428,12 @@ def kpconv_banded_pallas(q_pts, s_pts, neighb_inds, x, kernel_points,
     """
     out, oob, _ = _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points,
                             weights, kp_extent, influence, band, tile,
-                            interpret)
+                            interpret, pblk_skip)
     return out, oob
 
 
 def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
-              kp_extent, influence, band, tile, interpret):
+              kp_extent, influence, band, tile, interpret, pblk_skip):
     b, nq = q_pts.shape[:2]
     ns, cin = x.shape[1:]
     kp, _, cout = weights.shape
@@ -346,26 +444,32 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
 
     q2, nb2, s2, x2, starts, n_tiles, ns_pad, n_blocks, pad_q = _prep(
         q_pts, s_pts, neighb_inds, x, n_win, tile)
+    if pblk_skip:
+        ranges = _pblk_ranges(q2, nb2, s2, starts, kernel_points,
+                              kp_extent, influence, ns, ns_pad, n_win)
+    else:
+        ranges = jnp.zeros((1, 1), jnp.int32)   # unread by the kernel
     # Features ride HBM->VMEM in the MXU dtype (halves block footprint)
     x2 = x2.astype(mxu_dtype)
     w3d = weights.astype(mxu_dtype)
 
     kernel = functools.partial(
         _fwd_kernel, kp_extent=kp_extent, influence=influence,
-        n_support=ns, mxu_dtype=mxu_dtype, n_win=n_win)
+        n_support=ns, mxu_dtype=mxu_dtype, n_win=n_win,
+        pblk_skip=pblk_skip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b * n_tiles,),
         in_specs=_window_specs(tile, k_width, cin, n_win, n_tiles,
                                n_blocks) + [
             _kp_spec(kp),
-            pl.BlockSpec((kp, cin, cout), lambda i, st: (0, 0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i, st, rg: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, cout), lambda i, st: (i, 0),
+            pl.BlockSpec((tile, cout), lambda i, st, rg: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, st: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i, st, rg: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32)],
@@ -380,7 +484,7 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(starts, q2, nb2, *sx, kernel_points, w3d)
+    )(starts, ranges, q2, nb2, *sx, kernel_points, w3d)
     out = out.reshape(b, nq + pad_q, cout)[:, :nq]
     oob = jnp.sum(oob.reshape(b, -1)[:, :nq], axis=1)
     res = (q_pts, s_pts, neighb_inds, x, kernel_points, weights)
@@ -388,14 +492,15 @@ def _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
 
 
 def _fwd_rule(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
-              kp_extent, influence, band, tile, interpret):
+              kp_extent, influence, band, tile, interpret, pblk_skip):
     out, oob, res = _fwd_impl(q_pts, s_pts, neighb_inds, x, kernel_points,
                               weights, kp_extent, influence, band, tile,
-                              interpret)
+                              interpret, pblk_skip)
     return (out, oob), res
 
 
-def _bwd_rule(kp_extent, influence, band, tile, interpret, res, g):
+def _bwd_rule(kp_extent, influence, band, tile, interpret, pblk_skip,
+              res, g):
     g_out, _g_oob = g
     q_pts, s_pts, neighb_inds, x, kernel_points, weights = res
     b, nq = q_pts.shape[:2]
@@ -407,6 +512,11 @@ def _bwd_rule(kp_extent, influence, band, tile, interpret, res, g):
 
     q2, nb2, s2, x2, starts, n_tiles, ns_pad, n_blocks, pad_q = _prep(
         q_pts, s_pts, neighb_inds, x, n_win, tile)
+    if pblk_skip:
+        ranges = _pblk_ranges(q2, nb2, s2, starts, kernel_points,
+                              kp_extent, influence, ns, ns_pad, n_win)
+    else:
+        ranges = jnp.zeros((1, 1), jnp.int32)   # unread by the kernel
     x2 = x2.astype(mxu_dtype)
     g_pad = jnp.pad(g_out, ((0, 0), (0, pad_q), (0, 0)))
     g2 = g_pad.reshape(b * (nq + pad_q), cout)
@@ -414,23 +524,24 @@ def _bwd_rule(kp_extent, influence, band, tile, interpret, res, g):
 
     kernel = functools.partial(
         _bwd_kernel, kp_extent=kp_extent, influence=influence,
-        n_support=ns, mxu_dtype=mxu_dtype, n_win=n_win, n_tiles=n_tiles)
+        n_support=ns, mxu_dtype=mxu_dtype, n_win=n_win, n_tiles=n_tiles,
+        pblk_skip=pblk_skip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b * n_tiles,),
         in_specs=_window_specs(tile, k_width, cin, n_win, n_tiles,
                                n_blocks) + [
             _kp_spec(kp),
-            pl.BlockSpec((kp, cin, cout), lambda i, st: (0, 0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i, st, rg: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cout), lambda i, st: (i, 0),
+            pl.BlockSpec((tile, cout), lambda i, st, rg: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((ns_pad, cin),
-                         lambda i, st: (i // n_tiles, 0),
+                         lambda i, st, rg: (i // n_tiles, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, cin, cout), lambda i, st: (0, 0, 0),
+            pl.BlockSpec((kp, cin, cout), lambda i, st, rg: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((kp, tile, cin), jnp.float32)],
@@ -445,7 +556,7 @@ def _bwd_rule(kp_extent, influence, band, tile, interpret, res, g):
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(starts, q2, nb2, *sx, kernel_points, w3d, g2)
+    )(starts, ranges, q2, nb2, *sx, kernel_points, w3d, g2)
     dx = dx.reshape(b, ns_pad, cin)[:, :ns]
 
     zeros_q = jnp.zeros_like(q_pts)
@@ -461,10 +572,12 @@ kpconv_banded_pallas.defvjp(_fwd_rule, _bwd_rule)
 def kpconv_banded(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
                   kp_extent: float, influence: str = "linear",
                   band: int = DEFAULT_BAND, tile: int = DEFAULT_TILE,
-                  interpret: bool = False):
+                  interpret: bool = False, pblk_skip: bool = True):
     """Convenience wrapper: clamps the band for small support clouds so
     tiny test problems stay fully covered (oob == 0 by construction).
-    band <= 0 selects the default width."""
+    band <= 0 selects the default width. pblk_skip gates the exact
+    per-(tile, kernel point) block-range skip (semantics-neutral; off
+    reproduces the round-3 kernel for A/B)."""
     ns = x.shape[1]
     if band <= 0:
         band = DEFAULT_BAND
@@ -473,4 +586,5 @@ def kpconv_banded(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
     band = max(band, QUANTUM)
     return kpconv_banded_pallas(q_pts, s_pts, neighb_inds, x,
                                 kernel_points, weights, float(kp_extent),
-                                influence, band, tile, interpret)
+                                influence, band, tile, interpret,
+                                bool(pblk_skip))

@@ -79,6 +79,7 @@ class StallWatchdog:
         self.timeout_s = float(timeout_s)
         self.label = label
         self._last = time.monotonic()
+        self._beaten = False
         self._stop = threading.Event()
         self._thread = None
         # External heartbeat file (scripts/resumable.sh exports the path):
@@ -112,6 +113,7 @@ class StallWatchdog:
     def beat(self) -> None:
         now = time.monotonic()
         self._last = now
+        self._beaten = True
         if self.timeout_s > 0 and now - self._hb_touched > 5.0:
             self._hb_touched = now
             if self._hb_file:
@@ -131,14 +133,22 @@ class StallWatchdog:
     def _run(self) -> None:
         while not self._stop.wait(min(self.timeout_s / 4, 60.0)):
             stale = time.monotonic() - self._last
-            if stale > self.timeout_s:
+            # First-beat grace: the gap between construction and the
+            # first completed step legitimately includes a cold XLA
+            # compile through the tunnel on a contended host (observed
+            # >900 s when self-tuned bands invalidated the compile
+            # cache). 3x the steady-state threshold before the first
+            # beat; normal afterwards.
+            threshold = (self.timeout_s if self._beaten
+                         else 3.0 * self.timeout_s)
+            if stale > threshold:
                 # Raw fd write + immediate _exit: print()/sys.stdout would
                 # take the interpreter's stdout lock, which the wedged main
                 # thread can be holding mid-write — observed to delay the
                 # exit by 20+ minutes. os.write to stderr takes no Python
                 # locks; _exit skips atexit/stdio entirely.
                 msg = (f"[watchdog] {self.label}: no progress for "
-                       f"{stale:.0f} s (> {self.timeout_s:.0f} s) — "
+                       f"{stale:.0f} s (> {threshold:.0f} s) — "
                        f"assuming a lost tunnel RPC; exiting "
                        f"{EXIT_STALLED} for a checkpoint resume.\n")
                 try:
