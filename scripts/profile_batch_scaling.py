@@ -33,14 +33,14 @@ import numpy as np
 from bench import bench_fused_step, build_bench_problem
 
 
-def line(config, plan, batch_num, tag):
+def line(config, plan, batch_num, tag, calibrated_from):
     config.batch_num = batch_num
     r = bench_fused_step(config, plan, steps=8,
                          trace_dir=f"/tmp/weasal_bscale_{tag}_{batch_num}",
                          density=7.0)
     bands = plan.bands or {}
     return dict(
-        tag=tag, batch_num=batch_num,
+        tag=tag, batch_num=batch_num, calibrated_from=calibrated_from,
         step_time_ms=round(r["step_time_ms"], 2),
         points_per_sec=round(r["points_per_sec"], 1),
         us_per_real_point=round(r["step_time_ms"] * 1e3
@@ -57,30 +57,41 @@ def line(config, plan, batch_num, tag):
 
 
 def main():
+    from weasal_tpu.utils.platform import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     out = []
     # --- per-line calibration (bench.py <= r3): reproduces the anomaly ---
     for b in (3, 9):
         config, _batch, plan = build_bench_problem("vaihingen", batch_num=b)
-        out.append(line(config, plan, b, "self"))
+        out.append(line(config, plan, b, "self", f"own {b}-sphere pool"))
 
     # --- one shared plan from a 9-sphere pool: shape-equivalent lines ---
     config, _batch, plan = build_bench_problem("vaihingen", batch_num=9)
     for b in (3, 9):
-        out.append(line(config, plan, b, "shared"))
-
-    for r in out:
-        print(json.dumps(r))
+        out.append(line(config, plan, b, "shared", "common 9-sphere pool"))
 
     by = {(r["tag"], r["batch_num"]): r for r in out}
     s3, s9 = by[("self", 3)], by[("self", 9)]
     h3, h9 = by[("shared", 3)], by[("shared", 9)]
-    print("\nself-calibrated (round-3 bench):  B=3 %.3f us/pt   B=9 %.3f us/pt"
+    # ONE parseable JSON object: all four lines + the summary (ADVICE r4
+    # #3 — stdout is a single stream, prose lines are '#'-prefixed).
+    print(json.dumps({
+        "lines": out,
+        "summary": {
+            "self_us_per_pt": {"b3": s3["us_per_real_point"],
+                               "b9": s9["us_per_real_point"]},
+            "shared_us_per_pt": {"b3": h3["us_per_real_point"],
+                                 "b9": h9["us_per_real_point"]},
+            "plan_l0_budget_per_sphere": {
+                "self_b3": s3["plan_num_points"][0],
+                "self_b9": s9["plan_num_points"][0],
+                "shared": h9["plan_num_points"][0]},
+        },
+    }))
+    print("# self-calibrated (round-3 bench):  B=3 %.3f us/pt   B=9 %.3f us/pt"
           % (s3["us_per_real_point"], s9["us_per_real_point"]))
-    print("shared plan (shape-equivalent):   B=3 %.3f us/pt   B=9 %.3f us/pt"
+    print("# shared plan (shape-equivalent):   B=3 %.3f us/pt   B=9 %.3f us/pt"
           % (h3["us_per_real_point"], h9["us_per_real_point"]))
-    print("plan level-0 budget/sphere: self B=3 %d vs B=9 %d; shared %d"
-          % (s3["plan_num_points"][0], s9["plan_num_points"][0],
-             h9["plan_num_points"][0]))
 
 
 if __name__ == "__main__":

@@ -143,6 +143,15 @@ class Config:
     use_pallas_search = "auto"
     pallas_band = 0                  # band half-window W rows (0 = auto,
                                      # sized per level from the plan)
+    # Exact per-(kernel-point, block) compute skip inside the banded
+    # KPConv kernel (XLA-precomputed block ranges branched on SMEM).
+    # Default OFF: measured on hardware at Vaihingen bench shapes
+    # (scripts/ab_pblk_skip.py, round 5) the skip path REGRESSES the
+    # fused step 45.66 -> 72.33 ms (conv stage 30.0 -> 52.8 ms) — the
+    # per-kernel-point branch overhead dwarfs the ~35% skippable work,
+    # consistent with round 3's reverted in-kernel variant. Kept as an
+    # opt-in for geometries with genuinely sparse kernel-point coverage.
+    pallas_pblk_skip = False
     # Device-resident clouds for the fused path: upload each split's
     # clouds once, ship per-sphere indices + augmentation params, and
     # gather/augment/sort in-jit (weasal_tpu/data/resident.py). ~8x less

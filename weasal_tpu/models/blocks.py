@@ -156,6 +156,7 @@ class KPConv(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     pallas_band: int = 0             # 0 = auto from conv geometry
+    pallas_pblk_skip: bool = False   # exact per-kernel-point block skip
     in_radius: float = 0.0           # sphere radius (m) for auto banding
     sort_margin: float = 0.0         # level voxel size (m), sort slack
     band_slot: int = -1              # this conv's slot in the per-edge
@@ -208,6 +209,7 @@ class KPConv(nn.Module):
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
             pallas_band=self.pallas_band,
+            pallas_pblk_skip=self.pallas_pblk_skip,
             radius=self.radius, in_radius=self.in_radius,
             sort_margin=self.sort_margin)
         out, min_sq, oob = ops.kpconv(
@@ -308,6 +310,7 @@ def _make_kpconv(parent_cfg, block_name, in_dim, out_dim, radius, layer_ind,
             auto_requires=bool(getattr(cfg, "device_pyramid", False))),
         pallas_interpret=bool(getattr(cfg, "pallas_interpret", False)),
         pallas_band=band,
+        pallas_pblk_skip=bool(getattr(cfg, "pallas_pblk_skip", False)),
         in_radius=float(getattr(cfg, "in_radius", 0.0)),
         sort_margin=radius / cfg.conv_radius,
         band_slot=(cfg.num_layers + layer_ind

@@ -51,7 +51,9 @@ class KPConvParams(NamedTuple):
     use_pallas: bool = False         # fused Pallas kernel (rigid sum only)
     pallas_interpret: bool = False   # interpreter mode (CPU testing)
     pallas_band: int = 0             # banded kernel half-window W (0=auto)
-    pallas_pblk_skip: bool = True    # exact per-kernel-point block skip
+    pallas_pblk_skip: bool = False   # exact per-kernel-point block skip
+                                     # (opt-in: measured 1.6x SLOWER at
+                                     # bench shapes, scripts/ab_pblk_skip.py)
     radius: float = 0.0              # conv radius (m) for auto banding
     in_radius: float = 0.0           # sphere radius (m) for auto banding
     sort_margin: float = 0.0         # spatial-sort slack (level voxel, m)

@@ -572,7 +572,7 @@ kpconv_banded_pallas.defvjp(_fwd_rule, _bwd_rule)
 def kpconv_banded(q_pts, s_pts, neighb_inds, x, kernel_points, weights,
                   kp_extent: float, influence: str = "linear",
                   band: int = DEFAULT_BAND, tile: int = DEFAULT_TILE,
-                  interpret: bool = False, pblk_skip: bool = True):
+                  interpret: bool = False, pblk_skip: bool = False):
     """Convenience wrapper: clamps the band for small support clouds so
     tiny test problems stay fully covered (oob == 0 by construction).
     band <= 0 selects the default width. pblk_skip gates the exact
