@@ -190,6 +190,40 @@ class TestPooling:
         np.testing.assert_allclose(out[0, 0], [3., 0.])
         np.testing.assert_allclose(out[0, 1], [0., 6.])
 
+    def test_max_pool_routes_agree(self):
+        # The argmax-regather route (cheap backward, round 5) must match
+        # the dense jnp.max route exactly in value and — off ties — in
+        # gradient. Random continuous features have no exact ties except
+        # at the zero shadow row, which both routes handle.
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 40, 8)).astype(np.float32))
+        inds = jnp.asarray(rng.integers(0, 41, size=(2, 24, 5))
+                           .astype(np.int32))        # 40 == shadow
+        out_a = np.asarray(max_pool(x, inds, route="argmax"))
+        out_d = np.asarray(max_pool(x, inds, route="dense"))
+        np.testing.assert_array_equal(out_a, out_d)
+
+        def loss(route):
+            return lambda v: jnp.sum(
+                jnp.sin(max_pool(v, inds, route=route) * 3.0))
+        g_a = np.asarray(jax.grad(loss("argmax"))(x))
+        g_d = np.asarray(jax.grad(loss("dense"))(x))
+        np.testing.assert_allclose(g_a, g_d, rtol=1e-6, atol=1e-6)
+
+    def test_max_pool_all_shadow_row_gradient_is_zero(self):
+        x = jnp.asarray(np.random.default_rng(0)
+                        .normal(size=(1, 4, 3)).astype(np.float32))
+        inds = jnp.asarray(np.array([[[4, 4, 4], [0, 4, 4]]], np.int32))
+        out = np.asarray(max_pool(x, inds, route="argmax"))
+        np.testing.assert_allclose(out[0, 0], 0.0)   # all-shadow -> 0
+        g = np.asarray(jax.grad(
+            lambda v: jnp.sum(max_pool(v, inds, route="argmax")))(x))
+        # row 0's gradient lands on the pad row (dropped); row 1 routes
+        # to support 0 only where it beats the zero pad
+        win = np.asarray(x[0, 0] > 0).astype(np.float32)
+        np.testing.assert_allclose(g[0, 0], win)
+        np.testing.assert_allclose(g[0, 1:], 0.0)
+
     def test_closest_pool_reads_column_zero(self):
         x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 3, 2))
         inds = jnp.asarray(np.array([[[2, 0], [3, 1]]], np.int32))

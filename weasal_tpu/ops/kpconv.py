@@ -32,6 +32,7 @@ truth for semantics.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -240,14 +241,47 @@ def kpconv(q_pts: jnp.ndarray,
 # Pooling / upsampling on the dense layout
 # ----------------------------------------------------------------------------
 
-def max_pool(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
+def max_pool(x: jnp.ndarray, inds: jnp.ndarray,
+             route: str = None) -> jnp.ndarray:
     """Max over each pooling neighborhood; shadow rows contribute zero.
 
     (The zero shadow row matches the reference, models/blocks.py:95-111:
     pooled maxima are clamped at >= 0.)
+
+    route='argmax' (default): the output value is re-read through a flat
+    per-channel 1-wide gather at the winning neighbor, so autodiff's
+    backward is a Q*C-element flat scatter-add. jnp.max's own VJP
+    broadcasts the output over all K neighbor slots, rebuilds the
+    [B, Nq, K, C] comparison mask and scatters K*C-deep — measured 3.3 ms
+    of the 45.7 ms Vaihingen bench step across the two strided-shortcut
+    pools (profiler round 5, full_run/perf/maxpool_route.jsonl), ~10x
+    off its own memory roofline. Forward values are bit-identical; ties
+    route their gradient to the first winning neighbor (torch semantics)
+    instead of jnp.max's split-among-ties.
+    route='dense': the plain jnp.max formulation (A/B + oracle).
     """
+    if route is None:
+        route = os.environ.get("WEASAL_MAXPOOL", "argmax")
     pooled = gather_neighbors(x, inds, 0.0)                 # [B, Nq, K, C]
-    return jnp.max(pooled, axis=2)
+    if route == "dense":
+        return jnp.max(pooled, axis=2)
+    b, ns, c = x.shape
+    nq = inds.shape[1]
+    k_star = jax.lax.stop_gradient(
+        jnp.argmax(pooled, axis=2).astype(jnp.int32))       # [B, Nq, C]
+    # winning SUPPORT row per (query, channel); shadow (== ns) selects the
+    # appended zero pad row, preserving the >= 0 clamp
+    s_star = jnp.take_along_axis(
+        inds.astype(jnp.int32)[..., None], k_star[:, :, None, :],
+        axis=2)[:, :, 0, :]                                 # [B, Nq, C]
+    pad_row = jnp.zeros((b, 1, c), dtype=x.dtype)
+    padded = jnp.concatenate([x, pad_row], axis=1)          # [B, Ns+1, C]
+    flat = padded.reshape(b * (ns + 1) * c)
+    offs = (jnp.arange(b, dtype=jnp.int32) * (ns + 1))[:, None, None]
+    flat_idx = ((s_star + offs) * c
+                + jnp.arange(c, dtype=jnp.int32)[None, None, :])
+    out = jnp.take(flat, flat_idx.reshape(-1), axis=0)
+    return out.reshape(b, nq, c)
 
 
 def closest_pool(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
