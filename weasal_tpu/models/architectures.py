@@ -24,8 +24,17 @@ import numpy as np
 from flax import linen as nn
 
 from weasal_tpu.models.blocks import (
-    ElevationAttention, MultiPathAttention, UnaryBlock, block_decider)
+    ElevationAttention, MultiPathAttention, NearestUpsampleBlock,
+    UnaryBlock, block_decider)
 from weasal_tpu.ops.kpconv import global_average
+
+
+def _split_channels(x, widths):
+    """Split [..., sum(widths)] back into per-path channel slices."""
+    off = 0
+    for w in widths:
+        yield x[..., off:off + w]
+        off += w
 
 
 def valid_label_mapper(lbl_values: Sequence[int],
@@ -201,9 +210,20 @@ class KPFCNN_mprm(nn.Module):
         for block, level in zip(self.decoder_blocks, self.decoder_levels):
             if isinstance(block, UnaryBlock):
                 # UnaryBlock takes (features, mask) — same dispatch as the
-                # KPFCNN decoder; conv/upsample blocks take the batch
+                # KPFCNN decoder; conv/upsample blocks take the batch.
+                # Applied per path: the shared BN must see each path's own
+                # batch statistics (reference protocol).
                 paths = [block(p, batch.masks[level], train)
                          for p in paths]
+            elif isinstance(block, NearestUpsampleBlock):
+                # Pure parameterless gather: run the 4 class-map streams
+                # as ONE channel-concatenated gather instead of 4 separate
+                # [N, C] gathers (measured ~0.5 ms/step of small-gather
+                # fusions at bench shapes, round-5 trace).
+                widths = [p.shape[-1] for p in paths]
+                fused = block(jnp.concatenate(paths, axis=-1), batch,
+                              train)
+                paths = list(_split_channels(fused, widths))
             else:
                 paths = [block(p, batch, train) for p in paths]
         no, pa, sa, ca = paths
