@@ -77,7 +77,7 @@ fi
 if [ "$START_STAGE" -le 4 ]; then
 run scripts/resumable.sh results/PseudoLabel \
     $PY train_DALES_PseudoLabel.py --fused \
-    --data_root "$ROOT" --weak_label_log "$WL_LOG" \
+    --data_root "$ROOT" --weak_label_log "$WL_LOG" --al_iterations 0 \
     --max_epoch "$PL_EPOCHS" --epoch_steps "$PL_STEPS" \
     --validation_size 50 2>&1 | tee "$WD/pl.log"
 fi
