@@ -26,7 +26,13 @@ rc2=$?
 echo "=== 2. AL ablation ==="
 # wipe round-4's 3-minute partial arm state (stale Log_entropy dir and a
 # possibly part-built ledger) so both arms start from the master root
-# with freshly built, equal-budget ledgers
+# with freshly built, equal-budget ledgers. AL_VOTES=6 (identical in
+# both arms) trims the acquisition dumps to fit the round; the full
+# 10-vote protocol was already demonstrated in round 3's AL run.
 rm -rf full_run/al_ab/entropy full_run/al_ab/random
-scripts/run_al_ablation.sh 2>&1 | tail -40
+AL_VOTES=6 scripts/run_al_ablation.sh 2>&1 | tail -40
+echo "=== 3. size-bucketed plans on the long-tailed tile ==="
+scripts/run_bucket_measure.sh 2>&1 | tail -30
+echo "=== 4. DALES vote-count sensitivity (1 vs 2 votes) ==="
+scripts/vote_sensitivity_dales.sh 2>&1 | tail -12
 echo "=== queue complete ($(date)) ==="
