@@ -30,8 +30,9 @@ for ARM in p100 b80; do
     EXTRA=()
     if [ "$ARM" = "b80" ]; then EXTRA=(--plan_buckets 80); fi
     SAVE="$WD/$ARM/results/WeakLabel"
-    mkdir -p "$SAVE"
     if [ -f "$WD/$ARM/done" ]; then continue; fi
+    rm -rf "$WD/$ARM"           # partial arm from an interrupted run
+    mkdir -p "$SAVE"
     WEASAL_LOOP_STATS=1 scripts/resumable.sh "$SAVE" \
         $PY train_Vaihingen3D_WeakLabel.py "$SAVE/Log_$ARM" --fused \
         --data_root "$ROOT" --max_epoch "$EPOCHS" --epoch_steps "$STEPS" \

@@ -248,20 +248,26 @@ def max_pool(x: jnp.ndarray, inds: jnp.ndarray,
     (The zero shadow row matches the reference, models/blocks.py:95-111:
     pooled maxima are clamped at >= 0.)
 
-    route='argmax' (default): the output value is re-read through a flat
-    per-channel 1-wide gather at the winning neighbor, so autodiff's
-    backward is a Q*C-element flat scatter-add. jnp.max's own VJP
+    route='dense' (default): the plain jnp.max formulation. Its VJP
     broadcasts the output over all K neighbor slots, rebuilds the
-    [B, Nq, K, C] comparison mask and scatters K*C-deep — measured 3.3 ms
-    of the 45.7 ms Vaihingen bench step across the two strided-shortcut
-    pools (profiler round 5, full_run/perf/maxpool_route.jsonl), ~10x
-    off its own memory roofline. Forward values are bit-identical; ties
-    route their gradient to the first winning neighbor (torch semantics)
-    instead of jnp.max's split-among-ties.
-    route='dense': the plain jnp.max formulation (A/B + oracle).
+    [B, Nq, K, C] comparison mask and scatters K*C-deep — ~3.3 ms of the
+    Vaihingen bench step across the two strided-shortcut pools (round-5
+    trace mining), ~10x off its own memory roofline — but it is still
+    the best MEASURED formulation on this hardware.
+    route='argmax': value-identical flat per-(query, channel) re-gather
+    at the winning neighbor, making the backward a Q*C-element flat
+    scatter-add (ties route to the first winner, torch semantics). On
+    paper 17x less scatter work; MEASURED ON TPU it is 2x WORSE end to
+    end (step 44.7 -> 93.3 ms, elementwise 6.5 -> 55.9 ms,
+    full_run/perf/maxpool_route.jsonl): XLA lowers element-granularity
+    1D gathers/scatters to serialized element loops, while the dense
+    route's K-deep scatter at least moves full [*, C] rows. Kept as the
+    measured counter-example; a banded Pallas backward (row-granular,
+    membership-based like kpconv_banded's dX) is the remaining headroom
+    here.
     """
     if route is None:
-        route = os.environ.get("WEASAL_MAXPOOL", "argmax")
+        route = os.environ.get("WEASAL_MAXPOOL", "dense")
     pooled = gather_neighbors(x, inds, 0.0)                 # [B, Nq, K, C]
     if route == "dense":
         return jnp.max(pooled, axis=2)
