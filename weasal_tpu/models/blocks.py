@@ -351,6 +351,31 @@ class SimpleBlock2(_ConvBlockBase):
         return leaky_relu(x)
 
 
+def _masked_max_pool(cfg, x, inds, layer_ind):
+    """Neighborhood max-pool with the banded Pallas backward when the
+    Pallas conv path is active (same sorted-support precondition, same
+    measured pool-edge band windows); the dense jnp.max route otherwise.
+    WEASAL_MAXPOOL=dense|argmax|banded overrides for A/B runs."""
+    import os
+    route = os.environ.get("WEASAL_MAXPOOL", "")
+    use_banded = resolve_pallas_flag(
+        getattr(cfg, "use_pallas_kpconv", False),
+        auto_requires=bool(getattr(cfg, "device_pyramid", False)))
+    if route in ("dense", "argmax"):
+        return ops.max_pool(x, inds, route=route)
+    if not (use_banded or route == "banded"):
+        return ops.max_pool(x, inds)
+    band = int(getattr(cfg, "pallas_band", 0))
+    table = getattr(cfg, "pallas_band_table", None)
+    if not band and table:
+        row = table.get("pool", ())
+        if layer_ind < len(row):
+            band = int(row[layer_ind])
+    from weasal_tpu.ops.pallas.maxpool_banded import max_pool_banded
+    return max_pool_banded(
+        x, inds, band, 128, bool(getattr(cfg, "pallas_interpret", False)))
+
+
 class ResnetBottleneckBlock(_ConvBlockBase):
     """unary -> KPConv -> unary with (max-pooled) shortcut
     (models/blocks.py:624-709)."""
@@ -381,7 +406,8 @@ class ResnetBottleneckBlock(_ConvBlockBase):
                        name="unary2")(x, out_mask, train)
 
         if "strided" in self.block_name:
-            shortcut = ops.max_pool(features, neighb)
+            shortcut = _masked_max_pool(cfg, features, neighb,
+                                        self.layer_ind)
         else:
             shortcut = features
         if self.in_dim != self.out_dim:
@@ -402,9 +428,12 @@ class NearestUpsampleBlock(nn.Module):
 
 class MaxPoolBlock(nn.Module):
     layer_ind: int
+    config: Any = None
 
     def __call__(self, x, batch, train: bool):
-        return ops.max_pool(x, batch.pools[self.layer_ind + 1])
+        return _masked_max_pool(self.config, x,
+                                batch.pools[self.layer_ind + 1],
+                                self.layer_ind)
 
 
 class GlobalAverageBlock(nn.Module):
@@ -595,7 +624,7 @@ def block_decider(block_name: str, radius: float, in_dim: int, out_dim: int,
         return ResnetBottleneckBlock(block_name, in_dim, out_dim, radius,
                                      layer_ind, config, name=name)
     if block_name in ("max_pool", "max_pool_wide"):
-        return MaxPoolBlock(layer_ind, name=name)
+        return MaxPoolBlock(layer_ind, config, name=name)
     if block_name == "global_average":
         return GlobalAverageBlock(name=name)
     if block_name == "nearest_upsample":
