@@ -683,6 +683,10 @@ class ModelTrainer:
         if os.environ.get("WEASAL_LOOP_STATS"):
             loop_stats = {"wait_batch": 0.0, "rng": 0.0, "dispatch": 0.0,
                           "flush": 0.0}
+        # Per-epoch dispatch counts by bucket tag — always on (cheap),
+        # printed with the saturation telemetry when buckets are active so
+        # the routing fraction is measured, not assumed.
+        bucket_counts = {}
         trace_dir = os.environ.get("WEASAL_TRACE_DIR")
         trace_state = "off" if trace_dir else "done"
 
@@ -743,6 +747,7 @@ class ModelTrainer:
                             _tr = time.perf_counter()
                         tag = (metas[0].get("bucket", "large")
                                if metas else "large")
+                        bucket_counts[tag] = bucket_counts.get(tag, 0) + 1
                         step_fn = self._train_steps.get(
                             tag, self._train_step)
                         (self.state, out_loss, reg_loss, acc,
@@ -766,6 +771,8 @@ class ModelTrainer:
                             _tr = time.perf_counter()
                         tag = (metas[0][0].get("bucket", "large")
                                if metas and metas[0] else "large")
+                        bucket_counts[tag] = (bucket_counts.get(tag, 0)
+                                              + n_real)
                         scan_fn = self._train_step_scans.get(
                             tag, self._train_step_scan)
                         (self.state, out_loss, reg_loss, acc,
@@ -838,6 +845,11 @@ class ModelTrainer:
                           f"/ {n} steps = {1e3 * tot / n:.1f} ms/step | "
                           f"{parts} other={tot - acc_t:.2f}s")
                     loop_stats = dict.fromkeys(loop_stats, 0.0)
+                if self.plan_small is not None and bucket_counts:
+                    print(f"[buckets] epoch {self.epoch} dispatches: "
+                          + " ".join(f"{t}={c}" for t, c in
+                                     sorted(bucket_counts.items())))
+                bucket_counts = {}
 
                 if config.saving and pid_file and not exists(pid_file):
                     break
