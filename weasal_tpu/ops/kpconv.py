@@ -252,8 +252,8 @@ def max_pool(x: jnp.ndarray, inds: jnp.ndarray,
     broadcasts the output over all K neighbor slots, rebuilds the
     [B, Nq, K, C] comparison mask and scatters K*C-deep — ~3.3 ms of the
     Vaihingen bench step across the two strided-shortcut pools (round-5
-    trace mining), ~10x off its own memory roofline — but it is still
-    the best MEASURED formulation on this hardware.
+    trace mining), ~10x off its own memory roofline — but the best
+    MEASURED pure-XLA formulation on this hardware.
     route='argmax': value-identical flat per-(query, channel) re-gather
     at the winning neighbor, making the backward a Q*C-element flat
     scatter-add (ties route to the first winner, torch semantics). On
@@ -262,9 +262,13 @@ def max_pool(x: jnp.ndarray, inds: jnp.ndarray,
     full_run/perf/maxpool_route.jsonl): XLA lowers element-granularity
     1D gathers/scatters to serialized element loops, while the dense
     route's K-deep scatter at least moves full [*, C] rows. Kept as the
-    measured counter-example; a banded Pallas backward (row-granular,
-    membership-based like kpconv_banded's dX) is the remaining headroom
-    here.
+    measured counter-example.
+
+    The MEASURED-BEST backward on TPU is neither: the banded Pallas VJP
+    kernel (ops/pallas/maxpool_banded.py, step 44.7 -> 43.3 ms after
+    its block-outer restructure), which models/blocks._masked_max_pool
+    selects whenever the Pallas conv path is active. This op keeps the
+    pure-XLA routes for non-sorted callers, oracles and A/B runs.
     """
     if route is None:
         route = os.environ.get("WEASAL_MAXPOOL", "dense")
