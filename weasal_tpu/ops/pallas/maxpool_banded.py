@@ -30,6 +30,13 @@ same pool-edge neighbor lists feed the banded KPConv forward on the
 same step, whose oob counter already monitors exactly these drops (0 at
 calibrated bands), so this kernel stays counter-free.
 
+Measured (round-5 bench, Vaihingen geometry): v1 (slot-outer, per-
+(slot, block) slab read-modify-write) ran 3.5 ms self-time — net
++0.4 ms vs the dense route. The shipped block-outer version accumulates
+all K slots in registers and writes the slab once per occupied block:
+1.7 ms self-time, fused step 44.7 -> 43.3 ms (full_run/perf/
+maxpool_route.jsonl).
+
 Reference op: models/blocks.py:95-111 (max_pool), used by the
 resnetb_strided shortcut and max_pool blocks.
 """
