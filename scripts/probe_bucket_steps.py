@@ -36,6 +36,9 @@ def main():
     config = C()
     config.load("full_run/buckets/b80/results/WeakLabel/Log_b80")
     config.saving = False
+    # --fused is a CLI flag, not a persisted parameter: restore the
+    # fused/resident path the arm actually ran
+    config.device_pyramid = True
     ds = Vaihingen3DWLDataset(config, "training", data_root=root)
     trainer = ModelTrainer(config, ds)
     assert trainer.plan_small is not None, "buckets not active"
