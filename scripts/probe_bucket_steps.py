@@ -76,6 +76,46 @@ def main():
         print(f"{tag}: {len(times) if times else 0} executions, "
               f"median {med:.2f} ms, plan {list(plan.num_points)}")
 
+    # --- the production dispatch: K-step lax.scan programs -------------
+    # The 3-epoch arms run these, and their epoch walls sit BELOW the K=1
+    # large program's device time — measure the scan programs directly.
+    K = 10
+    packs = {}
+    for tag in ("small", "large"):
+        host = []
+        while len(host) < 2 * K:
+            arrays, metas = source.next_batch(rng)
+            if metas[0].get("bucket", "large") == tag:
+                host.append(arrays)
+        tag_packs = []
+        for i in range(2):
+            chunk = host[i * K:(i + 1) * K]
+            stacked = {k: np.stack([b[k] for b in chunk])
+                       for k in chunk[0]}
+            stacked["do_step"] = np.ones(K, bool)
+            tag_packs.append({**jax.device_put(stacked),
+                              **source.resident.arrays})
+        packs[tag] = tag_packs
+
+    rngs = jax.random.split(key, K)
+    for tag in ("small", "large"):
+        scan_fn = trainer._build_train_step_scan(tag)
+        out = scan_fn(state, packs[tag][0], lr, rngs, use_contrast=False)
+        float(out[1][-1] if hasattr(out[1], "shape") else out[1])
+        trace_dir = f"/tmp/bucket_scan_trace_{tag}"
+        shutil.rmtree(trace_dir, ignore_errors=True)
+        with jax.profiler.trace(trace_dir):
+            for p in packs[tag]:
+                out = scan_fn(state, p, lr, rngs, use_contrast=False)
+            loss = out[1]
+            float(loss[-1] if hasattr(loss, "shape") and loss.ndim else
+                  loss)
+        times = module_times_us(trace_dir, "train_step_k")
+        med = float(np.median(times)) / 1e3 if times else None
+        print(f"scan[{tag}]: {len(times) if times else 0} executions of "
+              f"K={K}, median {med:.2f} ms = "
+              f"{(med / K if med else 0):.2f} ms/step")
+
 
 if __name__ == "__main__":
     main()
